@@ -1,0 +1,19 @@
+from rife_tpu.ops.resize import resize_bilinear, scale_by
+from rife_tpu.ops.warp import warp
+from rife_tpu.ops.pad import pad_to_multiple, pad_centered, Padding
+from rife_tpu.ops.ssim import ssim, ssim_matlab, msssim
+from rife_tpu.ops.pyramid import laplacian_pyramid, lap_loss
+
+__all__ = [
+    "resize_bilinear",
+    "scale_by",
+    "warp",
+    "pad_to_multiple",
+    "pad_centered",
+    "Padding",
+    "ssim",
+    "ssim_matlab",
+    "msssim",
+    "laplacian_pyramid",
+    "lap_loss",
+]

@@ -1,0 +1,77 @@
+"""Bilinear resize with exact half-pixel (align_corners=False) semantics.
+
+The RIFE coarse-to-fine pyramid is resolution-invariant only because every
+level downsamples its input and rescales the flow with one precise
+coordinate convention (reference: model/IFNet.py:40-49,
+F.interpolate(..., align_corners=False)).  Off-by-half-pixel errors here
+directly corrupt the estimated flow, so we implement the convention
+explicitly instead of relying on a library resize:
+
+    src = (dst + 0.5) * (in / out) - 0.5,  clamped below at 0
+    i0 = floor(src), i1 = min(i0 + 1, in - 1), lam = src - i0
+
+All index/weight tables are computed at trace time with numpy from the
+static shapes, so under jit the op lowers to two static gathers and a lerp
+per axis — XLA fuses the pair into the surrounding elementwise work.  For
+the ubiquitous x0.5 case the formula degenerates to exact 2x2 mean pooling
+which we special-case (pure reshape+mean, no gather at all).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _lerp_table(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * (in_size / out_size) - 0.5
+    src = np.maximum(src, 0.0)
+    i0 = np.minimum(np.floor(src).astype(np.int32), in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    lam = (src - i0).astype(np.float32)
+    return i0, i1, lam
+
+
+def _resize_axis(x: jnp.ndarray, out_size: int, axis: int) -> jnp.ndarray:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, lam = _lerp_table(in_size, out_size)
+    lam_shape = [1] * x.ndim
+    lam_shape[axis] = out_size
+    lam_b = jnp.asarray(lam, dtype=x.dtype).reshape(lam_shape)
+    x0 = jnp.take(x, jnp.asarray(i0), axis=axis)
+    x1 = jnp.take(x, jnp.asarray(i1), axis=axis)
+    return x0 * (1 - lam_b) + x1 * lam_b
+
+
+def _is_half(in_size: int, out_size: int) -> bool:
+    return in_size == out_size * 2
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Resize NHWC (or HWC) image to (H_out, W_out), torch-interpolate exact."""
+    h_axis = x.ndim - 3
+    w_axis = x.ndim - 2
+    out_h, out_w = out_hw
+    in_h, in_w = x.shape[h_axis], x.shape[w_axis]
+    if _is_half(in_h, out_h) and _is_half(in_w, out_w):
+        # (dst+0.5)*2-0.5 = 2*dst+0.5 => mean of the 2x2 block: exact.
+        lead = x.shape[:h_axis]
+        c = x.shape[-1]
+        y = x.reshape(lead + (out_h, 2, out_w, 2, c))
+        return y.mean(axis=(h_axis + 1, h_axis + 3))
+    x = _resize_axis(x, out_h, h_axis)
+    x = _resize_axis(x, out_w, w_axis)
+    return x
+
+
+def scale_by(x: jnp.ndarray, factor: float) -> jnp.ndarray:
+    """Resize by a scale factor (output size = floor(in * factor))."""
+    h_axis = x.ndim - 3
+    w_axis = x.ndim - 2
+    out_h = int(np.floor(x.shape[h_axis] * factor))
+    out_w = int(np.floor(x.shape[w_axis] * factor))
+    return resize_bilinear(x, (out_h, out_w))

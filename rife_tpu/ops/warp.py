@@ -1,0 +1,68 @@
+"""Backward bilinear warp (the RIFE sampling primitive).
+
+Semantics contract (reference: model/warplayer.py:8-22): the reference
+builds a normalized [-1, 1] grid, adds flow normalized by (size-1)/2 and
+calls grid_sample(align_corners=True, padding_mode='border').  With
+align_corners=True the normalized grid maps back to integer pixel centers,
+so the whole dance is equivalent to sampling at
+
+    (x + flow_x, y + flow_y)   in pixel coordinates, border-clamped.
+
+We implement that directly: clamp the sample coordinate into
+[0, size-1], split into floor corner + fraction, and blend four gathered
+corners.  The gather uses a flattened spatial index so it lowers to a
+single take_along_axis per corner; the iota grid is materialized by XLA,
+no host-side grid cache is needed (unlike the reference's per-shape dict).
+
+A Pallas row-tiled variant lives in rife_tpu.ops.pallas.warp for the hot
+path; this module is the portable/golden implementation.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp img by flow.
+
+    Args:
+      img:  (N, H, W, C) source image/features.
+      flow: (N, H, W, 2) pixel-unit flow; [..., 0] = dx, [..., 1] = dy.
+
+    Returns:
+      (N, H, W, C) img sampled at (x+dx, y+dy), bilinear, border clamp.
+    """
+    n, h, w, c = img.shape
+    dtype = img.dtype
+    # Compute sampling coordinates in f32: flow magnitudes are small but
+    # pixel indices are not, and bf16 cannot address >256px exactly.
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ix = jnp.clip(xs[None] + flow[..., 0].astype(jnp.float32), 0.0, w - 1)
+    iy = jnp.clip(ys[None] + flow[..., 1].astype(jnp.float32), 0.0, h - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = (ix - x0).astype(dtype)[..., None]
+    fy = (iy - y0).astype(dtype)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = img.reshape(n, h * w, c)
+
+    def gather(yi, xi):
+        lin = (yi * w + xi).reshape(n, h * w, 1)
+        return jnp.take_along_axis(flat, lin, axis=1).reshape(n, h, w, c)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
