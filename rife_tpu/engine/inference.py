@@ -1,0 +1,92 @@
+"""Jitted pair-interpolation engine with shape-bucket compile cache.
+
+Equivalent of the reference Model.inference (model/RIFE.py:56-65,
+train_log/RIFE_HDv3.py:56-60), redesigned for XLA:
+
+- the whole forward (pyramid + warps + refine [+ TTA ensemble]) is ONE
+  jitted graph; video resolutions are bucketed by padded shape and each
+  bucket compiles once (SURVEY.md §7 hard part #3).
+- timestep is a traced scalar argument, so arbitrary-timestep models
+  (rife_m, v4.25) serve any t without recompiling.
+- compute dtype is a constructor knob: bf16 activations with f32
+  accumulation for throughput (TPU-native replacement for the
+  reference's fp16 mode, inference_video.py:85-86), f32 for parity work.
+  Flow/merge math stays in the compute dtype; coordinates inside warp
+  are always f32.
+- TTA is the reference's double-flip ensemble (RIFE.py:62-65) traced
+  into the same graph.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rife_tpu.models.registry import MODEL_REGISTRY, ModelDef
+
+
+class InferenceEngine:
+    def __init__(self, model: str = "rife", params=None, *,
+                 compute_dtype=jnp.float32, scale: float = 1.0, seed: int = 0):
+        self.model_def: ModelDef = MODEL_REGISTRY[model]
+        self.model_name = model
+        if params is None:
+            params = self.model_def.init(jax.random.PRNGKey(seed), self.model_def.config)
+        self.params = params
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.scale = scale
+        self.scale_list = tuple(s / scale for s in self.model_def.scale_list)
+        self._cache: dict = {}
+
+    # -- graph construction -------------------------------------------------
+
+    def _forward(self, params, img0, img1, timestep, tta: bool):
+        img0 = img0.astype(self.compute_dtype)
+        img1 = img1.astype(self.compute_dtype)
+        apply = self.model_def.apply
+        cfg = self.model_def.config
+
+        def run(a, b):
+            out = apply(params, a, b, timestep=timestep,
+                        scale_list=self.scale_list, cfg=cfg)
+            return out["merged"][-1]
+
+        mid = run(img0, img1)
+        if tta:
+            flip = lambda x: x[:, ::-1, ::-1, :]
+            mid2 = run(flip(img0), flip(img1))
+            mid = (mid + flip(mid2)) / 2
+        return mid
+
+    def _get_fn(self, shape, tta: bool):
+        key = (shape, tta)
+        fn = self._cache.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._forward, tta=tta))
+            self._cache[key] = fn
+        return fn
+
+    # -- public API ---------------------------------------------------------
+
+    def interpolate(self, img0: jnp.ndarray, img1: jnp.ndarray,
+                    timestep: float = 0.5, tta: bool = False) -> jnp.ndarray:
+        """Midpoint/arbitrary-t frame for a padded NHWC pair in [0,1]."""
+        fn = self._get_fn(img0.shape, tta)
+        t = jnp.asarray(timestep, jnp.float32)
+        return fn(self.params, img0, img1, t)
+
+    def interpolate_batch(self, pairs0, pairs1, timestep=0.5, tta=False):
+        """Batched pair interpolation — stack frame pairs along N to fill
+        the chip (the video pipeline's throughput path)."""
+        return self.interpolate(pairs0, pairs1, timestep, tta)
+
+    @property
+    def supports_timestep(self) -> bool:
+        return self.model_name in ("rife_m", "v4.25")
+
+    def warmup(self, shape, tta: bool = False):
+        """Compile the bucket for `shape` ahead of time."""
+        z = jnp.zeros(shape, self.compute_dtype)
+        self.interpolate(z, z, 0.5, tta).block_until_ready()

@@ -1,0 +1,81 @@
+"""Host-side interpolation schedules.
+
+These are the data-dependent drivers that stay OUT of jit (SURVEY.md §7
+hard part #6): recursive midpoint expansion (reference
+inference_video.py:178-188), exp-style list doubling (inference_img.py:95-103,
+rife_app/utils/interpolation.py:4-19), ratio bisection
+(inference_img.py:70-93), and direct arbitrary-timestep sampling for
+timestep-conditioned models (benchmark/HD_multi_4X.py:43-48).
+
+Every schedule only ever calls engine.interpolate — the single jitted
+graph — so schedules compose freely without recompiles.
+"""
+from __future__ import annotations
+
+from typing import List
+
+
+def midpoint_tree(engine, img0, img1, n: int, tta: bool = False) -> List:
+    """n intermediate frames by recursive midpoint bisection (in order)."""
+    if n <= 0:
+        return []
+    if n == 1:
+        return [engine.interpolate(img0, img1, 0.5, tta)]
+    mid = engine.interpolate(img0, img1, 0.5, tta)
+    first = midpoint_tree(engine, img0, mid, n // 2, tta)
+    second = midpoint_tree(engine, mid, img1, n // 2, tta)
+    if n % 2:
+        return [*first, mid, *second]
+    return [*first, mid, *second][:n]
+
+
+def exp_doubling(engine, frames: List, passes: int, tta: bool = False) -> List:
+    """2^passes densification by repeated whole-list midpoint insertion."""
+    for _ in range(passes):
+        out = []
+        for a, b in zip(frames[:-1], frames[1:]):
+            out.append(a)
+            out.append(engine.interpolate(a, b, 0.5, tta))
+        out.append(frames[-1])
+        frames = out
+    return frames
+
+
+def bisect_to_ratio(engine, img0, img1, ratio: float, *, threshold: float = 0.02,
+                    max_cycles: int = 8, tta: bool = False):
+    """Approximate frame at arbitrary t by midpoint bisection.
+
+    For timestep-conditioned models the engine samples t directly; for the
+    fixed-midpoint model this replicates the reference's binary search
+    (inference_img.py:70-93): walk toward `ratio` halving the interval,
+    stopping within `threshold`.
+    """
+    if engine.supports_timestep:
+        return engine.interpolate(img0, img1, ratio, tta)
+    if ratio <= threshold:
+        return img0
+    if ratio >= 1 - threshold:
+        return img1
+    tmp_img0, tmp_img1 = img0, img1
+    lo, hi = 0.0, 1.0
+    middle = None
+    for _ in range(max_cycles):
+        middle = engine.interpolate(tmp_img0, tmp_img1, 0.5, tta)
+        mid_ratio = (lo + hi) / 2
+        if abs(ratio - mid_ratio) < threshold:
+            break
+        if ratio > mid_ratio:
+            tmp_img0 = middle
+            lo = mid_ratio
+        else:
+            tmp_img1 = middle
+            hi = mid_ratio
+    return middle
+
+
+def timestep_frames(engine, img0, img1, n: int, tta: bool = False) -> List:
+    """n evenly spaced frames at t = i/(n+1) — the RIFE_m protocol
+    (benchmark/HD_multi_4X.py:43-48 uses t = i/4 for 4X)."""
+    return [
+        engine.interpolate(img0, img1, (i + 1) / (n + 1), tta) for i in range(n)
+    ]

@@ -1,0 +1,213 @@
+"""Unified IFNet: coarse-to-fine intermediate flow estimation.
+
+One implementation covers three reference networks (SURVEY.md §2.2):
+
+- variant="rife":    paper IFNet     (reference model/IFNet.py:53-108)
+- variant="rife_m":  arbitrary-timestep IFNet_m — a constant timestep
+                     plane is concatenated into every block input
+                     (reference model/IFNet_m.py:53-112)
+- half_res=True:     the "2R" variant — IFBlock conv0's first conv is
+                     stride-1 and outputs upsample by `scale` instead of
+                     `scale*2` (reference model/IFNet_2R.py:20-51)
+
+Design notes (TPU-first):
+- The 3-level student loop is a static Python loop: three distinct
+  weight shapes -> three fused conv stacks in one XLA graph.  The
+  teacher/distillation branch is traced only when `gt` is passed, so
+  train and infer are separate compiled graphs with no dynamic branching.
+- Resolution invariance comes from the downsample/rescale contract of
+  scale_by (exact align_corners=False semantics) — flow tensors are
+  always in output-resolution pixel units.
+- All tensors NHWC; flow is [..., (dx, dy, dx', dy')] with [0:2] = t->0,
+  [2:4] = t->1.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+
+from rife_tpu.nn import conv_prelu, conv_transpose2d, conv_prelu_params, init_conv_transpose
+from rife_tpu.models.refine import (
+    contextnet_apply,
+    init_contextnet,
+    init_unet,
+    unet_apply,
+)
+from rife_tpu.ops import scale_by, warp
+
+
+@dataclass(frozen=True)
+class IFNetConfig:
+    variant: str = "rife"  # "rife" | "rife_m"
+    half_res: bool = False  # "2R" stride/upsample contract
+    block_channels: tuple = (240, 150, 90)
+    teacher_channels: int = 90
+    refine: bool = True  # contextnet+unet residual stage
+
+    @property
+    def timestep_plane(self) -> bool:
+        return self.variant == "rife_m"
+
+    @property
+    def block_in(self) -> tuple:
+        t = 1 if self.timestep_plane else 0
+        # block0 sees (img0, img1 [, t]); later blocks add 2 warps + mask + 4 flow.
+        return (6 + t, 13 + t + 4, 13 + t + 4)
+
+    @property
+    def teacher_in(self) -> int:
+        return 16 + (1 if self.timestep_plane else 0) + 4
+
+
+def init_ifblock(key, cin: int, c: int) -> dict:
+    ks = jax.random.split(key, 11)
+    return {
+        "conv0": [
+            conv_prelu_params(ks[0], 3, 3, cin, c // 2),
+            conv_prelu_params(ks[1], 3, 3, c // 2, c),
+        ],
+        "convblock": [conv_prelu_params(ks[2 + i], 3, 3, c, c) for i in range(8)],
+        "lastconv": init_conv_transpose(ks[10], 4, c, 5),
+    }
+
+
+def ifblock_apply(p, x, flow, scale: float, half_res: bool = False):
+    """One IFBlock (reference model/IFNet.py:39-51).
+
+    Returns (flow_residual[4ch], mask_logit[1ch]) at input resolution.
+    """
+    if scale != 1:
+        x = scale_by(x, 1.0 / scale)
+    if flow is not None:
+        flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
+        x = jnp.concatenate([x, flow], -1)
+    x = conv_prelu(x, p["conv0"][0], stride=1 if half_res else 2)
+    x = conv_prelu(x, p["conv0"][1], stride=2)
+    y = x
+    for cp in p["convblock"]:
+        y = conv_prelu(y, cp)
+    x = y + x
+    tmp = conv_transpose2d(x, p["lastconv"])
+    up = scale if half_res else scale * 2
+    if up != 1:
+        tmp = scale_by(tmp, up)
+    flow_out = tmp[..., :4] * up
+    mask = tmp[..., 4:5]
+    return flow_out, mask
+
+
+def init_ifnet(key, cfg: IFNetConfig = IFNetConfig()) -> dict:
+    ks = jax.random.split(key, 6)
+    params = {
+        f"block{i}": init_ifblock(ks[i], cin, c)
+        for i, (cin, c) in enumerate(zip(cfg.block_in, cfg.block_channels))
+    }
+    params["block_tea"] = init_ifblock(ks[3], cfg.teacher_in, cfg.teacher_channels)
+    if cfg.refine:
+        params["contextnet"] = init_contextnet(ks[4])
+        params["unet"] = init_unet(ks[5])
+    return params
+
+
+def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
+                gt=None, cfg: IFNetConfig = IFNetConfig(), refine: bool | None = None):
+    """Full forward pass.
+
+    Args:
+      img0, img1: (N, H, W, 3), H and W multiples of the pad granularity.
+      scale_list: per-level working-resolution divisors (already divided
+        by the user `scale` knob, reference model/RIFE.py:57-58).
+      timestep:   scalar or (N,1,1,1); used only for variant="rife_m".
+      gt:         (N, H, W, 3) ground truth; presence statically enables
+        the teacher + distillation branch (reference IFNet.py:88-102).
+
+    Returns dict with flow_list, mask_list, merged (list of 3),
+    flow_teacher, merged_teacher, loss_distill.
+    """
+    cat = jnp.concatenate
+    do_refine = cfg.refine if refine is None else refine
+    tplane = None
+    if cfg.timestep_plane:
+        n, h, w, _ = img0.shape
+        tplane = jnp.broadcast_to(
+            jnp.asarray(timestep, img0.dtype).reshape((-1, 1, 1, 1)), (n, h, w, 1)
+        ).astype(img0.dtype)
+
+    flow = None
+    mask = None
+    warped0, warped1 = img0, img1
+    flow_list, mask_list, merged = [], [], []
+    for i in range(3):
+        p = params[f"block{i}"]
+        if flow is None:
+            x = cat([img0, img1] + ([tplane] if tplane is not None else []), -1)
+            flow, mask = ifblock_apply(p, x, None, scale_list[i], cfg.half_res)
+        else:
+            x = cat(
+                [img0, img1]
+                + ([tplane] if tplane is not None else [])
+                + [warped0, warped1, mask],
+                -1,
+            )
+            flow_d, mask_d = ifblock_apply(p, x, flow, scale_list[i], cfg.half_res)
+            flow = flow + flow_d
+            mask = mask + mask_d
+        mask_list.append(jax.nn.sigmoid(mask))
+        flow_list.append(flow)
+        warped0 = warp(img0, flow[..., 0:2])
+        warped1 = warp(img1, flow[..., 2:4])
+        merged.append((warped0, warped1))
+
+    flow_teacher = None
+    merged_teacher = None
+    loss_distill = jnp.zeros((), img0.dtype)
+    if gt is not None:
+        x = cat(
+            [img0, img1]
+            + ([tplane] if tplane is not None else [])
+            + [warped0, warped1, mask, gt],
+            -1,
+        )
+        flow_d, mask_d = ifblock_apply(params["block_tea"], x, flow, 1.0, cfg.half_res)
+        flow_teacher = flow + flow_d
+        w0_t = warp(img0, flow_teacher[..., 0:2])
+        w1_t = warp(img1, flow_teacher[..., 2:4])
+        mask_teacher = jax.nn.sigmoid(mask + mask_d)
+        merged_teacher = w0_t * mask_teacher + w1_t * (1 - mask_teacher)
+
+    for i in range(3):
+        merged[i] = merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i])
+        if gt is not None:
+            # Privileged distillation: supervise student flow where the
+            # teacher reconstructs gt better by >0.01 (IFNet.py:100-102).
+            err_s = jnp.mean(jnp.abs(merged[i] - gt), axis=-1, keepdims=True)
+            err_t = jnp.mean(jnp.abs(merged_teacher - gt), axis=-1, keepdims=True)
+            loss_mask = jax.lax.stop_gradient((err_s > err_t + 0.01).astype(img0.dtype))
+            dist = jnp.sqrt(
+                jnp.mean(
+                    (jax.lax.stop_gradient(flow_teacher) - flow_list[i]) ** 2,
+                    axis=-1,
+                    keepdims=True,
+                )
+            )
+            loss_distill = loss_distill + jnp.mean(dist * loss_mask)
+
+    if do_refine:
+        c0 = contextnet_apply(params["contextnet"], img0, flow[..., 0:2], cfg.half_res)
+        c1 = contextnet_apply(params["contextnet"], img1, flow[..., 2:4], cfg.half_res)
+        res = unet_apply(
+            params["unet"], img0, img1, warped0, warped1, mask, flow, c0, c1, cfg.half_res
+        )
+        res = res * 2 - 1
+        merged[2] = jnp.clip(merged[2] + res, 0.0, 1.0)
+
+    return {
+        "flow_list": flow_list,
+        "mask_list": mask_list,
+        "merged": merged,
+        "flow_teacher": flow_teacher,
+        "merged_teacher": merged_teacher,
+        "loss_distill": loss_distill,
+    }

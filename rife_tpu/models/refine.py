@@ -1,0 +1,97 @@
+"""Context pyramid + U-Net fusion (the refinement stage).
+
+Reference: model/refine.py:36-82 (paper nets) and model/refine_2R.py:25-83
+(half-resolution "2R" variant).  Contextnet extracts a 4-level feature
+pyramid from a source image and warps each level by the (progressively
+halved and rescaled) flow; Unet fuses images, warps, mask, flow and both
+context pyramids through a 4-down/4-up encoder-decoder into a sigmoid
+residual image.
+
+The whole stage is pure function of (params, tensors) and is jitted as
+part of the full forward graph — XLA fuses the concats into the convs.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rife_tpu.nn import conv_prelu, conv_transpose2d, conv2d, prelu, conv_prelu_params, deconv_prelu_params, init_conv
+from rife_tpu.ops import scale_by, warp
+
+_C = 16  # base channel width (reference refine.py:35)
+
+
+def _conv2_params(key, cin, cout):
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv1": conv_prelu_params(k1, 3, 3, cin, cout),
+        "conv2": conv_prelu_params(k2, 3, 3, cout, cout),
+    }
+
+
+def _conv2_apply(p, x, stride=2):
+    x = conv_prelu(x, p["conv1"], stride=stride)
+    return conv_prelu(x, p["conv2"], stride=1)
+
+
+def init_contextnet(key) -> dict:
+    ks = jax.random.split(key, 4)
+    return {
+        "conv1": _conv2_params(ks[0], 3, _C),
+        "conv2": _conv2_params(ks[1], _C, 2 * _C),
+        "conv3": _conv2_params(ks[2], 2 * _C, 4 * _C),
+        "conv4": _conv2_params(ks[3], 4 * _C, 8 * _C),
+    }
+
+
+def contextnet_apply(p, img, flow, half_res: bool = False) -> list[jnp.ndarray]:
+    """4-level warped feature pyramid (refine.py:44-57 / refine_2R.py:44-58).
+
+    half_res: conv1 is stride-1 and the first warp uses the flow unscaled.
+    """
+    feats = []
+    x = _conv2_apply(p["conv1"], img, stride=1 if half_res else 2)
+    if not half_res:
+        flow = scale_by(flow, 0.5) * 0.5
+    feats.append(warp(x, flow))
+    for name in ("conv2", "conv3", "conv4"):
+        x = _conv2_apply(p[name], x, stride=2)
+        flow = scale_by(flow, 0.5) * 0.5
+        feats.append(warp(x, flow))
+    return feats
+
+
+def init_unet(key) -> dict:
+    ks = jax.random.split(key, 9)
+    return {
+        "down0": _conv2_params(ks[0], 17, 2 * _C),
+        "down1": _conv2_params(ks[1], 4 * _C, 4 * _C),
+        "down2": _conv2_params(ks[2], 8 * _C, 8 * _C),
+        "down3": _conv2_params(ks[3], 16 * _C, 16 * _C),
+        "up0": deconv_prelu_params(ks[4], 4, 32 * _C, 8 * _C),
+        "up1": deconv_prelu_params(ks[5], 4, 16 * _C, 4 * _C),
+        "up2": deconv_prelu_params(ks[6], 4, 8 * _C, 2 * _C),
+        "up3": deconv_prelu_params(ks[7], 4, 4 * _C, _C),
+        "conv": init_conv(ks[8], 3, 3, _C, 3),
+    }
+
+
+def unet_apply(p, img0, img1, warped0, warped1, mask, flow, c0, c1,
+               half_res: bool = False) -> jnp.ndarray:
+    """Fusion U-Net -> sigmoid 3ch residual (refine.py:72-82 / refine_2R.py:72-83)."""
+    cat = jnp.concatenate
+    s0 = _conv2_apply(p["down0"], cat([img0, img1, warped0, warped1, mask, flow], -1),
+                      stride=1 if half_res else 2)
+    s1 = _conv2_apply(p["down1"], cat([s0, c0[0], c1[0]], -1))
+    s2 = _conv2_apply(p["down2"], cat([s1, c0[1], c1[1]], -1))
+    s3 = _conv2_apply(p["down3"], cat([s2, c0[2], c1[2]], -1))
+    x = conv_transpose2d(cat([s3, c0[3], c1[3]], -1), p["up0"]["conv"])
+    x = prelu(x, p["up0"]["alpha"])
+    x = conv_transpose2d(cat([x, s2], -1), p["up1"]["conv"])
+    x = prelu(x, p["up1"]["alpha"])
+    x = conv_transpose2d(cat([x, s1], -1), p["up2"]["conv"])
+    x = prelu(x, p["up2"]["alpha"])
+    x = conv_transpose2d(cat([x, s0], -1), p["up3"]["conv"])
+    x = prelu(x, p["up3"]["alpha"])
+    x = conv2d(x, p["conv"], stride=2 if half_res else 1)
+    return jax.nn.sigmoid(x)

@@ -1,0 +1,91 @@
+"""Model registry: explicit preset table replacing the reference's
+exception-driven auto-detect cascade (reference inference_img.py:25-46,
+rife_app/models/loader.py:13-41 try HDv2 -> HDv3 -> HD -> arXiv).
+
+Each entry bundles (config, init, apply, torch importer).  The detection
+helper inspects a checkpoint's keys instead of trying imports.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+
+from rife_tpu.models import ifnet as _ifnet
+from rife_tpu.models import v425 as _v425
+from rife_tpu.models import torch_import as _imp
+
+
+@dataclass(frozen=True)
+class ModelDef:
+    name: str
+    config: Any
+    init: Callable
+    apply: Callable
+    import_torch: Callable
+    scale_list: tuple  # default per-level divisors before the /scale knob
+
+
+MODEL_REGISTRY: dict[str, ModelDef] = {}
+
+
+def _register(d: ModelDef):
+    MODEL_REGISTRY[d.name] = d
+
+
+_register(ModelDef(
+    name="rife",
+    config=_ifnet.IFNetConfig(variant="rife"),
+    init=_ifnet.init_ifnet,
+    apply=_ifnet.ifnet_apply,
+    import_torch=_imp.import_ifnet,
+    scale_list=(4.0, 2.0, 1.0),
+))
+_register(ModelDef(
+    name="rife_m",
+    config=_ifnet.IFNetConfig(variant="rife_m"),
+    init=_ifnet.init_ifnet,
+    apply=_ifnet.ifnet_apply,
+    import_torch=_imp.import_ifnet,
+    scale_list=(4.0, 2.0, 1.0),
+))
+_register(ModelDef(
+    name="rife_2r",
+    config=_ifnet.IFNetConfig(variant="rife", half_res=True),
+    init=_ifnet.init_ifnet,
+    apply=_ifnet.ifnet_apply,
+    import_torch=_imp.import_ifnet,
+    scale_list=(4.0, 2.0, 1.0),
+))
+_register(ModelDef(
+    name="v4.25",
+    config=_v425.V425Config(),
+    init=_v425.init_v425,
+    apply=_v425.v425_apply,
+    import_torch=_imp.import_v425,
+    scale_list=(16.0, 8.0, 4.0, 2.0, 1.0),
+))
+
+
+def create_model(name: str, seed: int = 0):
+    """Returns (ModelDef, params) with fresh torch-default-init params."""
+    d = MODEL_REGISTRY[name]
+    params = d.init(jax.random.PRNGKey(seed), d.config)
+    return d, params
+
+
+def detect_model_from_state_dict(keys) -> str:
+    """Key-based version detection (replaces the import-cascade)."""
+    keys = set(keys)
+    if any(k.startswith("module.") for k in keys):
+        keys = {k.replace("module.", "", 1) for k in keys}
+    if "encode.cnn0.weight" in keys or "block4.conv0.0.0.weight" in keys:
+        return "v4.25"
+    if "block0.conv0.0.0.weight" in keys:
+        # timestep-plane variant has 7 input channels in block0.
+        for k in keys:
+            if k == "block0.conv0.0.0.weight":
+                return "rife"  # caller may refine via weight shape
+        return "rife"
+    raise ValueError("unrecognized checkpoint format")

@@ -1,0 +1,167 @@
+"""RIFE v4.25 ("HDv3") preset — the Practical-RIFE network the fork ships.
+
+Reference: train_log/IFNet_HDv3.py:24-169 and train_log/RIFE_HDv3.py:15-89.
+Differences from the paper IFNet:
+
+- A `Head` feature encoder (3 convs + ConvTranspose -> 4ch features);
+  each block additionally sees the flow-warped encoder features.
+- 5 IFBlocks (c = 192/128/96/64/32) over scale_list [16,8,4,2,1]/scale.
+- convblock is 8 ResConvs with a learnable per-channel beta scale;
+  LeakyReLU(0.2) activations throughout.
+- lastconv = ConvTranspose(c -> 4*13) + PixelShuffle(2) producing 13
+  channels: 4 flow + 1 mask + 8 feature channels carried between levels.
+- An always-on timestep plane (tensor or scalar), mask is *replaced*
+  (not accumulated) per level, and there is no contextnet/unet in
+  fastmode — merged[-1] is the sigmoid-mask blend of the two warps.
+
+The reference's training update for this preset is broken (undefined
+`loss_cons`, train_log/RIFE_HDv3.py:78) so this model is inference-only
+here too; training targets the paper IFNet.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from rife_tpu.nn import (
+    conv2d,
+    conv_transpose2d,
+    init_conv,
+    init_conv_transpose,
+    leaky_relu,
+    pixel_shuffle,
+)
+from rife_tpu.ops import scale_by, warp
+
+
+@dataclass(frozen=True)
+class V425Config:
+    block_channels: tuple = (192, 128, 96, 64, 32)
+
+    @property
+    def block_in(self) -> tuple:
+        # block0: img0+img1 (6) + f0+f1 (8) + timestep (1)
+        # later:  warped imgs (6) + warped feats (8) + t (1) + mask (1) + feat (8) [+4 flow]
+        return (7 + 8, 8 + 4 + 8 + 8, 8 + 4 + 8 + 8, 8 + 4 + 8 + 8, 8 + 4 + 8 + 8)
+
+
+def _conv_lrelu(x, p, stride=1):
+    return leaky_relu(conv2d(x, p, stride=stride), 0.2)
+
+
+def init_head(key) -> dict:
+    ks = jax.random.split(key, 4)
+    return {
+        "cnn0": init_conv(ks[0], 3, 3, 3, 16),
+        "cnn1": init_conv(ks[1], 3, 3, 16, 16),
+        "cnn2": init_conv(ks[2], 3, 3, 16, 16),
+        "cnn3": init_conv_transpose(ks[3], 4, 16, 4),
+    }
+
+
+def head_apply(p, x):
+    """Feature encoder (train_log/IFNet_HDv3.py:24-43); returns 4ch features."""
+    x0 = conv2d(x, p["cnn0"], stride=2)
+    x = leaky_relu(x0, 0.2)
+    x1 = conv2d(x, p["cnn1"])
+    x = leaky_relu(x1, 0.2)
+    x2 = conv2d(x, p["cnn2"])
+    x = leaky_relu(x2, 0.2)
+    return conv_transpose2d(x, p["cnn3"])
+
+
+def init_resconv(key, c: int) -> dict:
+    return {"conv": init_conv(key, 3, 3, c, c), "beta": jnp.ones((c,), jnp.float32)}
+
+
+def resconv_apply(p, x):
+    """x -> lrelu(conv(x) * beta + x) (train_log/IFNet_HDv3.py:45-54)."""
+    return leaky_relu(conv2d(x, p["conv"]) * p["beta"].astype(x.dtype) + x, 0.2)
+
+
+def init_v425_block(key, cin: int, c: int) -> dict:
+    ks = jax.random.split(key, 11)
+    return {
+        "conv0": [init_conv(ks[0], 3, 3, cin, c // 2), init_conv(ks[1], 3, 3, c // 2, c)],
+        "convblock": [init_resconv(ks[2 + i], c) for i in range(8)],
+        "lastconv": init_conv_transpose(ks[10], 4, c, 4 * 13),
+    }
+
+
+def v425_block_apply(p, x, flow, scale: float):
+    """v4.25 IFBlock (train_log/IFNet_HDv3.py:56-90).
+
+    Returns (flow[4], mask[1], feat[8]) at input resolution.
+    """
+    if scale != 1:
+        x = scale_by(x, 1.0 / scale)
+    if flow is not None:
+        flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
+        x = jnp.concatenate([x, flow], -1)
+    x = _conv_lrelu(x, p["conv0"][0], stride=2)
+    x = _conv_lrelu(x, p["conv0"][1], stride=2)
+    for rp in p["convblock"]:
+        x = resconv_apply(rp, x)
+    tmp = conv_transpose2d(x, p["lastconv"])
+    tmp = pixel_shuffle(tmp, 2)
+    if scale != 1:
+        tmp = scale_by(tmp, scale)
+    flow_out = tmp[..., :4] * scale
+    mask = tmp[..., 4:5]
+    feat = tmp[..., 5:]
+    return flow_out, mask, feat
+
+
+def init_v425(key, cfg: V425Config = V425Config()) -> dict:
+    ks = jax.random.split(key, 6)
+    params = {
+        f"block{i}": init_v425_block(ks[i], cin, c)
+        for i, (cin, c) in enumerate(zip(cfg.block_in, cfg.block_channels))
+    }
+    params["encode"] = init_head(ks[5])
+    return params
+
+
+def v425_apply(params, img0, img1, *, timestep=0.5,
+               scale_list=(16.0, 8.0, 4.0, 2.0, 1.0),
+               cfg: V425Config = V425Config()):
+    """v4.25 forward (train_log/IFNet_HDv3.py:119-169, fastmode inference).
+
+    Returns dict(flow_list, mask, merged) — merged[-1] is the output frame.
+    """
+    cat = jnp.concatenate
+    n, h, w, _ = img0.shape
+    tplane = jnp.broadcast_to(
+        jnp.asarray(timestep, img0.dtype).reshape((-1, 1, 1, 1)), (n, h, w, 1)
+    ).astype(img0.dtype)
+
+    f0 = head_apply(params["encode"], img0)
+    f1 = head_apply(params["encode"], img1)
+
+    flow = None
+    mask = None
+    feat = None
+    warped0, warped1 = img0, img1
+    flow_list, mask_list, merged = [], [], []
+    for i in range(len(cfg.block_channels)):
+        p = params[f"block{i}"]
+        if flow is None:
+            x = cat([img0, img1, f0, f1, tplane], -1)
+            flow, mask, feat = v425_block_apply(p, x, None, scale_list[i])
+        else:
+            wf0 = warp(f0, flow[..., 0:2])
+            wf1 = warp(f1, flow[..., 2:4])
+            x = cat([warped0, warped1, wf0, wf1, tplane, mask, feat], -1)
+            fd, mask, feat = v425_block_apply(p, x, flow, scale_list[i])
+            flow = flow + fd
+        mask_list.append(mask)
+        flow_list.append(flow)
+        warped0 = warp(img0, flow[..., 0:2])
+        warped1 = warp(img1, flow[..., 2:4])
+        merged.append((warped0, warped1))
+
+    mask_s = jax.nn.sigmoid(mask)
+    merged[-1] = warped0 * mask_s + warped1 * (1 - mask_s)
+    return {"flow_list": flow_list, "mask": mask_list[-1], "merged": merged}

@@ -1,0 +1,142 @@
+"""Full-model numerical parity vs the reference PyTorch implementation.
+
+The reference repo (mounted read-only at /root/reference) is imported as
+ground truth: we instantiate its torch modules with default init, export
+the state dict through rife_tpu.models.torch_import, and compare full
+forward passes.  This pins the whole semantic chain — resize conventions,
+warp, conv/deconv layouts, PReLU, PixelShuffle ordering — in one shot.
+
+Skipped when the reference checkout is absent (end-user machines).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout not mounted")
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import torch  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from rife_tpu.models import (  # noqa: E402
+    IFNetConfig,
+    ifnet_apply,
+    v425_apply,
+)
+from rife_tpu.models.torch_import import import_ifnet, import_v425  # noqa: E402
+
+
+def to_nhwc(t: torch.Tensor) -> jnp.ndarray:
+    return jnp.asarray(np.moveaxis(t.detach().numpy(), 1, -1))
+
+
+def from_nhwc(a) -> np.ndarray:
+    return np.moveaxis(np.asarray(a), -1, 1)
+
+
+def _sd_numpy(module) -> dict:
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _rand_pair(h=32, w=64, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    img0 = torch.rand(1, 3, h, w, generator=g)
+    img1 = torch.rand(1, 3, h, w, generator=g)
+    return img0, img1
+
+
+def test_ifnet_forward_parity():
+    from model.IFNet import IFNet
+
+    torch.manual_seed(7)
+    net = IFNet().eval()
+    params = import_ifnet(_sd_numpy(net))
+
+    img0, img1 = _rand_pair()
+    with torch.no_grad():
+        _, _, merged, _, _, _ = net(torch.cat([img0, img1], 1), scale=[4, 2, 1])
+    out = ifnet_apply(params, to_nhwc(img0), to_nhwc(img1), cfg=IFNetConfig())
+    got = from_nhwc(out["merged"][2])
+    ref = merged[2].numpy()
+    assert np.abs(got - ref).max() < 2e-4, np.abs(got - ref).max()
+
+
+def test_ifnet_teacher_parity():
+    from model.IFNet import IFNet
+
+    torch.manual_seed(3)
+    net = IFNet().eval()
+    params = import_ifnet(_sd_numpy(net))
+
+    img0, img1 = _rand_pair(seed=5)
+    gt = torch.rand(1, 3, 32, 64, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        _, _, merged, flow_tea, merged_tea, loss_distill = net(
+            torch.cat([img0, img1, gt], 1), scale=[4, 2, 1]
+        )
+    out = ifnet_apply(params, to_nhwc(img0), to_nhwc(img1), gt=to_nhwc(gt))
+    assert np.abs(from_nhwc(out["merged_teacher"]) - merged_tea.numpy()).max() < 2e-4
+    assert np.abs(from_nhwc(out["flow_teacher"]) - flow_tea.numpy()).max() < 2e-3
+    assert abs(float(out["loss_distill"]) - float(loss_distill)) < 1e-4
+
+
+def test_ifnet_m_timestep_parity():
+    from model.IFNet_m import IFNet_m
+
+    torch.manual_seed(11)
+    net = IFNet_m().eval()
+    params = import_ifnet(_sd_numpy(net), IFNetConfig(variant="rife_m"))
+
+    img0, img1 = _rand_pair(seed=2)
+    for t in (0.5, 0.25):
+        with torch.no_grad():
+            _, _, merged, _, _, _ = net(torch.cat([img0, img1], 1), scale=[4, 2, 1], timestep=t)
+        out = ifnet_apply(
+            params, to_nhwc(img0), to_nhwc(img1), timestep=t, cfg=IFNetConfig(variant="rife_m")
+        )
+        diff = np.abs(from_nhwc(out["merged"][2]) - merged[2].numpy()).max()
+        assert diff < 2e-4, (t, diff)
+
+
+def test_ifnet_2r_parity():
+    from model.IFNet_2R import IFNet as IFNet2R
+
+    torch.manual_seed(13)
+    net = IFNet2R().eval()
+    cfg = IFNetConfig(variant="rife", half_res=True)
+    params = import_ifnet(_sd_numpy(net), cfg)
+
+    img0, img1 = _rand_pair(h=32, w=32, seed=4)
+    with torch.no_grad():
+        _, _, merged, _, _, _ = net(torch.cat([img0, img1], 1), scale=[4, 2, 1])
+    out = ifnet_apply(params, to_nhwc(img0), to_nhwc(img1), cfg=cfg)
+    diff = np.abs(from_nhwc(out["merged"][2]) - merged[2].numpy()).max()
+    assert diff < 2e-4, diff
+
+
+def test_v425_forward_parity():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ifnet_hdv3", os.path.join(REF, "train_log", "IFNet_HDv3.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(17)
+    net = mod.IFNet().eval()
+    params = import_v425(_sd_numpy(net))
+
+    img0, img1 = _rand_pair(h=64, w=64, seed=6)
+    with torch.no_grad():
+        _, _, merged = net(
+            torch.cat([img0, img1], 1), timestep=0.5, scale_list=[16, 8, 4, 2, 1]
+        )
+    out = v425_apply(params, to_nhwc(img0), to_nhwc(img1), timestep=0.5)
+    diff = np.abs(from_nhwc(out["merged"][-1]) - merged[-1].numpy()).max()
+    assert diff < 2e-4, diff
