@@ -1,0 +1,58 @@
+"""Headline benchmark: 2X 720p interpolation throughput on one TPU chip.
+
+Reference baseline: 30+ FPS on an RTX 2080 Ti (README.md:8); target from
+BASELINE.md: >=120 interpolated 720p frames/sec/chip.  Protocol mirrors
+benchmark/testtime.py (warmup + timed loop, device-synchronized) but at
+720p with batched pairs, bf16 compute — the production serving config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rife_tpu_jit_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from rife_tpu.engine import InferenceEngine
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    # 720p padded to a multiple of 32 (1280x736), the video driver's bucket.
+    h, w = 736, 1280
+
+    engine = InferenceEngine("rife", compute_dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    img0 = jax.random.uniform(key, (batch, h, w, 3), jnp.bfloat16)
+    img1 = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3), jnp.bfloat16)
+
+    # Warmup / compile.
+    engine.interpolate(img0, img1).block_until_ready()
+    engine.interpolate(img0, img1).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = engine.interpolate(img0, img1)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    baseline = 30.0  # reference 2080 Ti fps (README.md:8)
+    print(json.dumps({
+        "metric": "720p_2x_interpolation_throughput",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

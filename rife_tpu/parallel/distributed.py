@@ -1,0 +1,41 @@
+"""Multi-host bootstrap (replaces torch.distributed.launch + NCCL init,
+reference train.py:138-151, README.md:156-158).
+
+On TPU pods, jax.distributed.initialize() picks up the cluster topology
+from the environment; per-host input sharding replaces the reference's
+DistributedSampler (each host feeds only its local shard of the global
+batch).
+"""
+from __future__ import annotations
+
+import jax
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Initialize multi-host JAX if a cluster is configured; no-op for
+    single-process runs.  Returns True when distributed is active."""
+    if jax.process_count() > 1:
+        return True
+    if coordinator_address is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count() > 1
+
+
+def process_info() -> dict:
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": len(jax.local_devices()),
+        "global_devices": len(jax.devices()),
+    }
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0

@@ -1,0 +1,14 @@
+from rife_tpu.train.losses import epe_loss, ternary_loss, sobel_loss
+from rife_tpu.train.lr import warmup_cosine_schedule
+from rife_tpu.train.loop import TrainState, make_train_step, make_eval_step, train_init
+
+__all__ = [
+    "epe_loss",
+    "ternary_loss",
+    "sobel_loss",
+    "warmup_cosine_schedule",
+    "TrainState",
+    "make_train_step",
+    "make_eval_step",
+    "train_init",
+]
