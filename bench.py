@@ -29,22 +29,38 @@ def main():
     # 720p padded to a multiple of 32 (1280x736), the video driver's bucket.
     h, w = 736, 1280
 
-    engine = InferenceEngine("rife", compute_dtype=jnp.bfloat16)
+    from jax import lax
+
+    from rife_tpu.models.registry import MODEL_REGISTRY
+    from rife_tpu.ops import use_warp_impl
+
     key = jax.random.PRNGKey(0)
     img0 = jax.random.uniform(key, (batch, h, w, 3), jnp.bfloat16)
     img1 = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3), jnp.bfloat16)
 
-    # Warmup / compile.
-    engine.interpolate(img0, img1).block_until_ready()
-    engine.interpolate(img0, img1).block_until_ready()
+    d = MODEL_REGISTRY["rife"]
+    params = d.init(jax.random.PRNGKey(0), d.config)
+    warp_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = engine.interpolate(img0, img1)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    # `iters` forward passes chained inside ONE jit with a scalar fetch:
+    # on the tunneled runtime block_until_ready returns early and host
+    # round-trip (~30 ms) would otherwise swamp the measurement.
+    with use_warp_impl(warp_impl):
+        @jax.jit
+        def chained(params, a, b):
+            def body(i, a):
+                out = d.apply(params, a, b, scale_list=d.scale_list, cfg=d.config)
+                return out["merged"][-1]
+            return jnp.mean(lax.fori_loop(0, iters, body, a))
 
-    fps = batch * iters / dt
+        float(chained(params, img0, img1))  # compile + settle
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(chained(params, img0, img1))
+            best = min(best, time.perf_counter() - t0)
+
+    fps = batch * iters / best
     baseline = 30.0  # reference 2080 Ti fps (README.md:8)
     print(json.dumps({
         "metric": "720p_2x_interpolation_throughput",

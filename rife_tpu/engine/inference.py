@@ -29,7 +29,8 @@ from rife_tpu.models.registry import MODEL_REGISTRY, ModelDef
 
 class InferenceEngine:
     def __init__(self, model: str = "rife", params=None, *,
-                 compute_dtype=jnp.float32, scale: float = 1.0, seed: int = 0):
+                 compute_dtype=jnp.float32, scale: float = 1.0, seed: int = 0,
+                 warp_impl: str | None = None):
         self.model_def: ModelDef = MODEL_REGISTRY[model]
         self.model_name = model
         if params is None:
@@ -38,6 +39,11 @@ class InferenceEngine:
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.scale = scale
         self.scale_list = tuple(s / scale for s in self.model_def.scale_list)
+        # TPU serving uses the Pallas warp kernel; CPU/tests the exact
+        # XLA gather (see rife_tpu.ops.pallas.warp docstring).
+        if warp_impl is None:
+            warp_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.warp_impl = warp_impl
         self._cache: dict = {}
 
     # -- graph construction -------------------------------------------------
@@ -73,9 +79,12 @@ class InferenceEngine:
     def interpolate(self, img0: jnp.ndarray, img1: jnp.ndarray,
                     timestep: float = 0.5, tta: bool = False) -> jnp.ndarray:
         """Midpoint/arbitrary-t frame for a padded NHWC pair in [0,1]."""
+        from rife_tpu.ops import use_warp_impl
+
         fn = self._get_fn(img0.shape, tta)
         t = jnp.asarray(timestep, jnp.float32)
-        return fn(self.params, img0, img1, t)
+        with use_warp_impl(self.warp_impl):  # read at trace time
+            return fn(self.params, img0, img1, t)
 
     def interpolate_batch(self, pairs0, pairs1, timestep=0.5, tta=False):
         """Batched pair interpolation — stack frame pairs along N to fill

@@ -19,11 +19,42 @@ path; this module is the portable/golden implementation.
 """
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax.numpy as jnp
 from jax import lax
 
+# Which implementation `warp` dispatches to at TRACE time:
+#   "xla"    — exact gather path below (golden; differentiable)
+#   "pallas" — rife_tpu.ops.pallas.warp tiled kernel (TPU fast path;
+#              exact for locally-smooth flows, window-clamped otherwise)
+_WARP_IMPL = contextvars.ContextVar("rife_tpu_warp_impl", default="xla")
+
+
+def set_warp_impl(impl: str):
+    assert impl in ("xla", "pallas"), impl
+    _WARP_IMPL.set(impl)
+
+
+@contextlib.contextmanager
+def use_warp_impl(impl: str):
+    token = _WARP_IMPL.set(impl)
+    try:
+        yield
+    finally:
+        _WARP_IMPL.reset(token)
+
 
 def warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    if _WARP_IMPL.get() == "pallas":
+        from rife_tpu.ops.pallas.warp import warp_pallas
+
+        return warp_pallas(img, flow)
+    return warp_xla(img, flow)
+
+
+def warp_xla(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp img by flow.
 
     Args:
