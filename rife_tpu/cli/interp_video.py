@@ -67,7 +67,7 @@ def main(argv=None):
                           args.scale, args.dtype)
 
     if args.video:
-        reader = VideoReader(args.video)
+        reader = VideoReader(args.video, dtype="uint8")
         base = os.path.splitext(os.path.basename(args.video))[0]
     else:
         reader = PngDirReader(args.img)

@@ -22,9 +22,13 @@ def have_ffmpeg() -> bool:
 
 
 class VideoReader:
-    """cv2-based sequential frame reader yielding RGB float32 HWC [0,1]."""
+    """cv2-based sequential frame reader yielding RGB HWC frames.
 
-    def __init__(self, path: str):
+    dtype="uint8" (pipeline fast path: normalization happens on device)
+    or "float32" in [0,1] (service-layer compatibility).
+    """
+
+    def __init__(self, path: str, dtype: str = "float32"):
         self.cap = cv2.VideoCapture(path)
         if not self.cap.isOpened():
             raise FileNotFoundError(path)
@@ -32,13 +36,18 @@ class VideoReader:
         self.frame_count = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
         self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.dtype = dtype
 
     def __iter__(self):
         while True:
             ok, frame = self.cap.read()
             if not ok:
                 break
-            yield frame[..., ::-1].astype(np.float32) / 255.0
+            rgb = np.ascontiguousarray(frame[..., ::-1])
+            if self.dtype == "uint8":
+                yield rgb
+            else:
+                yield rgb.astype(np.float32) / 255.0
         self.cap.release()
 
 

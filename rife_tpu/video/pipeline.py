@@ -116,7 +116,29 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
         write_q.put(u8)
         stats["frames_out"] += 1
 
+    prep_cache = {}
+
     def device_frame(np_frame):
+        # uint8 frames ship 4x fewer bytes over the host->device link;
+        # normalize + pad runs fused on device.
+        if np_frame.dtype == np.uint8:
+            key = np_frame.shape
+            fn = prep_cache.get(key)
+            if fn is None:
+                from rife_tpu.ops.pad import plan_pad_to_multiple
+
+                p0 = plan_pad_to_multiple(np_frame.shape[0], np_frame.shape[1], mult)
+
+                @jax.jit
+                def _prep(u8):
+                    x = u8.astype(engine.compute_dtype) / 255.0
+                    return jnp.pad(x[None], ((0, 0), (p0.top, p0.bottom),
+                                             (p0.left, p0.right), (0, 0)))
+
+                fn = (_prep, p0)
+                prep_cache[key] = fn
+            _prep, p0 = fn
+            return _prep(jnp.asarray(np_frame)), p0
         x, p = pad_to_multiple(jnp.asarray(np_frame[None]), mult)
         return x, p
 

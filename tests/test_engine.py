@@ -1,0 +1,126 @@
+"""Engine, schedules, checkpoint roundtrip, and video pipeline tests."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rife_tpu.engine import (
+    InferenceEngine,
+    bisect_to_ratio,
+    exp_doubling,
+    load_checkpoint,
+    load_params,
+    midpoint_tree,
+    save_params,
+    timestep_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine("rife", seed=0)
+
+
+def _pair(rng, h=32, w=64):
+    a = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+    b = jnp.asarray(rng.random((1, h, w, 3), dtype=np.float32))
+    return a, b
+
+
+def test_interpolate_shapes_and_range(engine, rng):
+    a, b = _pair(rng)
+    mid = engine.interpolate(a, b)
+    assert mid.shape == a.shape
+    v = np.asarray(mid)
+    assert np.isfinite(v).all()
+    assert v.min() >= 0.0 and v.max() <= 1.0  # final clamp (IFNet.py:107)
+
+
+def test_tta_consistency(engine, rng):
+    a, b = _pair(rng)
+    plain = np.asarray(engine.interpolate(a, b))
+    tta = np.asarray(engine.interpolate(a, b, tta=True))
+    assert tta.shape == plain.shape
+    assert np.isfinite(tta).all()
+
+
+def test_shape_bucket_cache(engine, rng):
+    a, b = _pair(rng)
+    engine.interpolate(a, b)
+    n_buckets = len(engine._cache)
+    engine.interpolate(a, b)
+    assert len(engine._cache) == n_buckets  # same bucket reused
+    a2, b2 = _pair(rng, h=64, w=64)
+    engine.interpolate(a2, b2)
+    assert len(engine._cache) == n_buckets + 1
+
+
+def test_midpoint_tree_counts(engine, rng):
+    a, b = _pair(rng)
+    for n in (1, 2, 3, 7):
+        frames = midpoint_tree(engine, a, b, n)
+        assert len(frames) == n
+
+
+def test_exp_doubling(engine, rng):
+    a, b = _pair(rng)
+    frames = exp_doubling(engine, [a, b], 2)
+    assert len(frames) == 5  # 2 endpoints + 3 inserted
+
+
+def test_bisect_to_ratio_endpoints(engine, rng):
+    a, b = _pair(rng)
+    assert bisect_to_ratio(engine, a, b, 0.001) is a
+    assert bisect_to_ratio(engine, a, b, 0.999) is b
+    mid = bisect_to_ratio(engine, a, b, 0.3)
+    assert mid.shape == a.shape
+
+
+def test_timestep_frames_rife_m(rng):
+    eng = InferenceEngine("rife_m", seed=0)
+    a, b = _pair(rng)
+    frames = timestep_frames(eng, a, b, 3)
+    assert len(frames) == 3
+    assert eng.supports_timestep
+
+
+def test_checkpoint_roundtrip(tmp_path, engine):
+    path = str(tmp_path / "ck.rtpu")
+    save_params(path, engine.params, meta={"model": "rife"})
+    tree, meta = load_params(path)
+    assert meta["model"] == "rife"
+    import jax
+
+    for a, b in zip(jax.tree.leaves(engine.params), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    name, params = load_checkpoint(path)
+    assert name == "rife"
+    out_ref = engine.interpolate(*_pair(np.random.default_rng(0)))
+    eng2 = InferenceEngine("rife", params)
+    out2 = eng2.interpolate(*_pair(np.random.default_rng(0)))
+    np.testing.assert_allclose(np.asarray(out_ref), np.asarray(out2), atol=1e-6)
+
+
+def test_torch_checkpoint_import(tmp_path):
+    torch = pytest.importorskip("torch")
+    import sys
+
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference not mounted")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    from model.IFNet import IFNet
+
+    torch.manual_seed(0)
+    net = IFNet()
+    pkl = str(tmp_path / "flownet.pkl")
+    torch.save({f"module.{k}": v for k, v in net.state_dict().items()}, pkl)
+    name, params = load_checkpoint(pkl)
+    assert name == "rife"
+    eng = InferenceEngine(name, params)
+    a, b = _pair(np.random.default_rng(1))
+    out = eng.interpolate(a, b)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,125 @@
+"""Service-layer + HTTP API tests (cv2-only environment)."""
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rife_tpu.engine import InferenceEngine
+from rife_tpu.serve import services
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine("rife", seed=0)
+
+
+@pytest.fixture
+def small_video(tmp_path):
+    import cv2
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "in.mp4")
+    h, w = 48, 64
+    base = (rng.random((h, w + 16, 3)) * 255).astype(np.uint8)
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (w, h))
+    for i in range(4):
+        wr.write(base[:, i * 4 : i * 4 + w])
+    wr.release()
+    return path
+
+
+def test_pair_to_video(engine, tmp_path, rng):
+    out = str(tmp_path / "pair.mp4")
+    img0 = rng.random((40, 56, 3)).astype(np.float32)
+    img1 = rng.random((40, 56, 3)).astype(np.float32)
+    r = services.interpolate_pair_to_video(engine, img0, img1, out, passes=1, fps=5)
+    assert r["frames"] == 3
+    import os
+
+    assert os.path.getsize(out) > 0
+
+
+def test_disk_based_pair(engine, tmp_path, rng):
+    out = str(tmp_path / "pair_disk.mp4")
+    img0 = rng.random((40, 56, 3)).astype(np.float32)
+    img1 = rng.random((40, 56, 3)).astype(np.float32)
+    r = services.interpolate_pair_to_video(
+        engine, img0, img1, out, passes=2, fps=5,
+        disk_based=True, workdir=str(tmp_path / "spill"),
+    )
+    assert r["disk_based"] and r["frames"] == 5
+
+
+def test_video_file_roundtrip(engine, tmp_path, small_video):
+    out = str(tmp_path / "out.mp4")
+    stats = services.interpolate_video_file(engine, small_video, out, exp=1,
+                                            keep_audio=False)
+    assert stats["frames_in"] == 4
+    assert stats["frames_out"] == 7
+
+
+def test_reencode(tmp_path, small_video):
+    out = str(tmp_path / "re.mp4")
+    r = services.reencode_video(small_video, out)
+    assert r["action"].startswith(("reencoded", "copied"))
+
+
+def test_analyzer(small_video):
+    from rife_tpu.serve.analyzer import analyze_video
+
+    a = analyze_video(small_video)
+    assert a["width"] == 64 and a["height"] == 48
+
+
+def test_framing_utils(small_video):
+    from rife_tpu.video.framing import (
+        extract_boundary_frame,
+        get_video_info,
+        validate_temporal_alignment,
+    )
+
+    info = get_video_info(small_video)
+    assert info["frame_count"] == 4
+    f = extract_boundary_frame(small_video, "first")
+    assert f.shape == (48, 64, 3) and f.dtype == np.float32
+    v = validate_temporal_alignment(small_video, small_video)
+    assert v["compatible"]
+
+
+def test_http_api(engine, tmp_path, rng):
+    import cv2
+
+    from rife_tpu.serve.app import serve_http
+
+    i0 = str(tmp_path / "i0.png")
+    i1 = str(tmp_path / "i1.png")
+    cv2.imwrite(i0, (rng.random((40, 56, 3)) * 255).astype(np.uint8))
+    cv2.imwrite(i1, (rng.random((40, 56, 3)) * 255).astype(np.uint8))
+
+    port = 7899
+    t = threading.Thread(target=serve_http, args=(engine, "127.0.0.1", port), daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
+        assert json.load(r)["status"] == "ok"
+
+    body = json.dumps({
+        "img0_path": i0, "img1_path": i1, "passes": 1,
+        "out": str(tmp_path / "api.mp4"),
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/interpolate_pair", data=body, method="POST")
+    with urllib.request.urlopen(req) as r:
+        assert json.load(r)["frames"] == 3
+
+    # unknown endpoint -> 404
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/nope", data=b"{}", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
