@@ -62,8 +62,9 @@ def main(argv=None):
     img0_np, exr0 = read_image(args.img[0])
     img1_np, exr1 = read_image(args.img[1])
     is_exr = exr0 and exr1
-    img0, pad = pad_to_multiple(jnp.asarray(img0_np[None]), 32)
-    img1, _ = pad_to_multiple(jnp.asarray(img1_np[None]), 32)
+    mult = engine.pad_multiple
+    img0, pad = pad_to_multiple(jnp.asarray(img0_np[None]), mult)
+    img1, _ = pad_to_multiple(jnp.asarray(img1_np[None]), mult)
 
     if args.ratio:
         mid = bisect_to_ratio(engine, img0, img1, args.ratio,

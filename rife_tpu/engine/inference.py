@@ -92,6 +92,13 @@ class InferenceEngine:
         return self.interpolate(pairs0, pairs1, timestep, tta)
 
     @property
+    def pad_multiple(self) -> int:
+        """Spatial padding granularity: max(m, m/scale) like the
+        reference pad contract (inference_video.py:199)."""
+        m = self.model_def.pad_multiple
+        return int(max(m, m / self.scale))
+
+    @property
     def supports_timestep(self) -> bool:
         return self.model_name in ("rife_m", "v4.25")
 

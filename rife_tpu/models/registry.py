@@ -25,6 +25,7 @@ class ModelDef:
     apply: Callable
     import_torch: Callable
     scale_list: tuple  # default per-level divisors before the /scale knob
+    pad_multiple: int = 32  # spatial granularity the pyramid requires
 
 
 MODEL_REGISTRY: dict[str, ModelDef] = {}
@@ -65,6 +66,7 @@ _register(ModelDef(
     apply=_v425.v425_apply,
     import_torch=_imp.import_v425,
     scale_list=(16.0, 8.0, 4.0, 2.0, 1.0),
+    pad_multiple=64,  # scale-16 level downsamples /4 then upsamples x4
 ))
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,26 +52,49 @@ def _is_half(in_size: int, out_size: int) -> bool:
     return in_size == out_size * 2
 
 
+@jax.custom_vjp
+def _half_downsample(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x2 mean pooling on NHWC via native reduce_window.
+
+    reduce_window is the fastest TPU lowering (gather-lerp 2 ms,
+    reshape+mean 12 ms, strided slices 93 ms for 17ch 720p — measured)
+    but has no built-in VJP, so the trivial gradient (broadcast g/4 back
+    to the 2x2 block) is supplied manually.
+    """
+    from jax import lax
+
+    y = lax.reduce_window(
+        x, jnp.zeros((), x.dtype), lax.add,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+    return y * jnp.asarray(0.25, x.dtype)
+
+
+def _half_downsample_fwd(x):
+    return _half_downsample(x), None
+
+
+def _half_downsample_bwd(_, g):
+    g4 = g * jnp.asarray(0.25, g.dtype)
+    n, h, w, c = g4.shape
+    gi = jnp.broadcast_to(g4[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return (gi.reshape(n, h * 2, w * 2, c),)
+
+
+_half_downsample.defvjp(_half_downsample_fwd, _half_downsample_bwd)
+
+
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Resize NHWC (or HWC) image to (H_out, W_out), torch-interpolate exact."""
     h_axis = x.ndim - 3
     w_axis = x.ndim - 2
     out_h, out_w = out_hw
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
-    if _is_half(in_h, out_h) and _is_half(in_w, out_w):
+    if x.ndim == 4 and _is_half(in_h, out_h) and _is_half(in_w, out_w):
         # (dst+0.5)*2-0.5 = 2*dst+0.5 => mean of the 2x2 block: exact.
-        # reduce_window lowers to native pooling on TPU (a reshape+mean
-        # forces a costly relayout — measured 12x slower).
-        from jax import lax
-
-        ones = (1,) * (x.ndim - 3)
-        y = lax.reduce_window(
-            x, jnp.zeros((), x.dtype), lax.add,
-            window_dimensions=ones + (2, 2, 1),
-            window_strides=ones + (2, 2, 1),
-            padding="VALID",
-        )
-        return y * jnp.asarray(0.25, x.dtype)
+        return _half_downsample(x)
     x = _resize_axis(x, out_h, h_axis)
     x = _resize_axis(x, out_w, w_axis)
     return x

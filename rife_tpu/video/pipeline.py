@@ -103,7 +103,7 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
     rt.start()
     wt.start()
 
-    mult = int(max(32, 32 / job.scale))
+    mult = getattr(engine, "pad_multiple", int(max(32, 32 / job.scale)))
     pad = None
     stats = {"frames_in": 0, "frames_out": 0, "static": 0, "scene_cut": 0}
     t0 = time.perf_counter()
