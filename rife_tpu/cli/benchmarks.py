@@ -280,6 +280,10 @@ def run_testtime(args):
 
 
 def main(argv=None):
+    from rife_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description="rife_tpu benchmark harness")
     sub = ap.add_subparsers(dest="bench", required=True)
     defs = {

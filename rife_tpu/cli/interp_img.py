@@ -31,6 +31,10 @@ def build_engine(model_path: str | None, model: str | None, scale: float = 1.0,
 
 
 def main(argv=None):
+    from rife_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description="frame interpolation for a pair of images")
     ap.add_argument("--img", nargs=2, required=True)
     ap.add_argument("--exp", type=int, default=4)

@@ -28,6 +28,10 @@ from rife_tpu.video import (
 
 
 def main(argv=None):
+    from rife_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser(description="interpolation for a video")
     ap.add_argument("--video", type=str, default=None)
     ap.add_argument("--img", type=str, default=None, help="numbered-png frame directory")

@@ -8,6 +8,10 @@ import argparse
 
 
 def main(argv=None):
+    from rife_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("img0")
     ap.add_argument("img1")

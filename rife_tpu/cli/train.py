@@ -34,6 +34,10 @@ from rife_tpu.utils.logging import MetricLogger
 
 
 def main(argv=None):
+    from rife_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--epoch", type=int, default=300)
     ap.add_argument("--batch_size", type=int, default=16, help="global batch size")

@@ -209,6 +209,10 @@ def build_gradio(engine):
 
 
 def main(argv=None):
+    from rife_tpu.cli._common import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import argparse
 
     ap = argparse.ArgumentParser()
