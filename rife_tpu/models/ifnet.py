@@ -30,12 +30,12 @@ import jax.numpy as jnp
 
 from rife_tpu.nn import conv_prelu, conv_transpose2d, conv_prelu_params, init_conv_transpose
 from rife_tpu.models.refine import (
-    contextnet_apply,
+    contextnet_apply_pair,
     init_contextnet,
     init_unet,
     unet_apply,
 )
-from rife_tpu.ops import scale_by, warp
+from rife_tpu.ops import scale_by, warp, warp2
 
 
 @dataclass(frozen=True)
@@ -156,8 +156,7 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             mask = mask + mask_d
         mask_list.append(jax.nn.sigmoid(mask))
         flow_list.append(flow)
-        warped0 = warp(img0, flow[..., 0:2])
-        warped1 = warp(img1, flow[..., 2:4])
+        warped0, warped1 = warp2(img0, img1, flow[..., 0:2], flow[..., 2:4])
         merged.append((warped0, warped1))
 
     flow_teacher = None
@@ -172,8 +171,7 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
         )
         flow_d, mask_d = ifblock_apply(params["block_tea"], x, flow, 1.0, cfg.half_res)
         flow_teacher = flow + flow_d
-        w0_t = warp(img0, flow_teacher[..., 0:2])
-        w1_t = warp(img1, flow_teacher[..., 2:4])
+        w0_t, w1_t = warp2(img0, img1, flow_teacher[..., 0:2], flow_teacher[..., 2:4])
         mask_teacher = jax.nn.sigmoid(mask + mask_d)
         merged_teacher = w0_t * mask_teacher + w1_t * (1 - mask_teacher)
 
@@ -195,8 +193,9 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             loss_distill = loss_distill + jnp.mean(dist * loss_mask)
 
     if do_refine:
-        c0 = contextnet_apply(params["contextnet"], img0, flow[..., 0:2], cfg.half_res)
-        c1 = contextnet_apply(params["contextnet"], img1, flow[..., 2:4], cfg.half_res)
+        c0, c1 = contextnet_apply_pair(
+            params["contextnet"], img0, img1, flow[..., 0:2], flow[..., 2:4], cfg.half_res
+        )
         res = unet_apply(
             params["unet"], img0, img1, warped0, warped1, mask, flow, c0, c1, cfg.half_res
         )

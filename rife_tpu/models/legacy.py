@@ -1,0 +1,185 @@
+"""Legacy RIFE v2 ("HDv2") model — checkpoint compatibility.
+
+Reference: model/oldmodel/IFNet_HDv2.py:24-95 and
+model/oldmodel/RIFE_HDv2.py:37-199.  v2 predates the unified student/
+teacher design: three separately-checkpointed nets (flownet.pkl /
+contextnet.pkl / unet.pkl) composed at inference:
+
+- IFNet: 4 IFBlocks at fixed scales 8/4/2/1 (c = 192/128/96/48 with a
+  2c expansion inside); each block emits a 4-ch bidirectional flow
+  *residual* at HALF the input resolution; flows are 2x-upsampled (and
+  doubled) to warp the full-res images for the next block.
+- ContextNet: 5 Conv2 stages (c=32) producing a 4-level warped feature
+  pyramid from 1/4 down to 1/32 resolution.
+- FusionNet: U-Net over (warped0, warped1, flow) + both context
+  pyramids; final ConvTranspose gives 4 channels: 3 residual (sigmoid*2
+  - 1) + 1 blend mask; pred = clamp(w0*mask + w1*(1-mask) + res, 0, 1)
+  (RIFE_HDv2.py:176-193).
+
+The even older v1 (RIFE_HD, SE-blocks + PixelShuffle, unidirectional
+flow) is intentionally not ported: its checkpoints are superseded and
+the reference keeps it only as the last rung of the loader cascade —
+the registry raises a clear error pointing users at v2+.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from rife_tpu.nn import (
+    conv2d,
+    conv_prelu,
+    conv_prelu_params,
+    conv_transpose2d,
+    deconv_prelu_params,
+    init_conv,
+    init_conv_transpose,
+    prelu,
+)
+from rife_tpu.ops import scale_by, warp, warp2
+
+
+@dataclass(frozen=True)
+class HDv2Config:
+    block_channels: tuple = (192, 128, 96, 48)
+    block_scales: tuple = (8.0, 4.0, 2.0, 1.0)
+    block_in: tuple = (6, 10, 10, 10)
+    ctx_c: int = 32
+
+
+def _init_hdv2_block(key, cin: int, c: int) -> dict:
+    ks = jax.random.split(key, 9)
+    return {
+        "conv0": [
+            conv_prelu_params(ks[0], 3, 3, cin, c),
+            conv_prelu_params(ks[1], 3, 3, c, 2 * c),
+        ],
+        "convblock": [conv_prelu_params(ks[2 + i], 3, 3, 2 * c, 2 * c) for i in range(6)],
+        "conv1": init_conv_transpose(ks[8], 4, 2 * c, 4),
+    }
+
+
+def _hdv2_block_apply(p, x, scale: float):
+    """IFBlock (IFNet_HDv2.py:24-53): returns 4ch flow at x's half res."""
+    if scale != 1:
+        x = scale_by(x, 1.0 / scale)
+    x = conv_prelu(x, p["conv0"][0], stride=2)
+    x = conv_prelu(x, p["conv0"][1], stride=2)
+    for cp in p["convblock"]:
+        x = conv_prelu(x, cp)
+    flow = conv_transpose2d(x, p["conv1"])
+    if scale != 1:
+        flow = scale_by(flow, scale)
+    return flow
+
+
+def init_hdv2(key, cfg: HDv2Config = HDv2Config()) -> dict:
+    ks = jax.random.split(key, 16)
+    c = cfg.ctx_c
+    params = {
+        f"block{i}": _init_hdv2_block(ks[i], cin, ch)
+        for i, (cin, ch) in enumerate(zip(cfg.block_in, cfg.block_channels))
+    }
+    ctx = {}
+    widths = [(3, c), (c, c), (c, 2 * c), (2 * c, 4 * c), (4 * c, 8 * c)]
+    for i, (ci, co) in enumerate(widths):
+        k1, k2 = jax.random.split(ks[4 + i])
+        ctx[f"conv{i}"] = {
+            "conv1": conv_prelu_params(k1, 3, 3, ci, co),
+            "conv2": conv_prelu_params(k2, 3, 3, co, co),
+        }
+    params["contextnet"] = ctx
+    fus = {}
+    fw = [("conv0", 10, c), ("down0", c, 2 * c), ("down1", 4 * c, 4 * c),
+          ("down2", 8 * c, 8 * c), ("down3", 16 * c, 16 * c)]
+    for i, (name, ci, co) in enumerate(fw):
+        k1, k2 = jax.random.split(ks[9 + i])
+        fus[name] = {
+            "conv1": conv_prelu_params(k1, 3, 3, ci, co),
+            "conv2": conv_prelu_params(k2, 3, 3, co, co),
+        }
+    fus["up0"] = deconv_prelu_params(ks[14], 4, 32 * c, 8 * c)
+    kk = jax.random.split(ks[15], 4)
+    fus["up1"] = deconv_prelu_params(kk[0], 4, 16 * c, 4 * c)
+    fus["up2"] = deconv_prelu_params(kk[1], 4, 8 * c, 2 * c)
+    fus["up3"] = deconv_prelu_params(kk[2], 4, 4 * c, c)
+    fus["conv"] = init_conv_transpose(kk[3], 4, c, 4)
+    params["fusionnet"] = fus
+    return params
+
+
+def _conv2_apply(p, x, stride=2):
+    x = conv_prelu(x, p["conv1"], stride=stride)
+    return conv_prelu(x, p["conv2"], stride=1)
+
+
+def _hdv2_context(p, img, flow_half):
+    """ContextNet (RIFE_HDv2.py:50-77): two stride-2 stages before the
+    first warp; flow_half is the half-res flow from IFNet."""
+    x = _conv2_apply(p["conv0"], img)
+    x = _conv2_apply(p["conv1"], x)
+    feats = []
+    flow = flow_half
+    for name in ("conv2", "conv3", "conv4", None):
+        flow = scale_by(flow, 0.5) * 0.5
+        feats.append(warp(x, flow))
+        if name is not None:
+            x = _conv2_apply(p[name], x)
+    # loop order: warp happens after each downsample of flow, before the
+    # next conv stage; feats collected at 1/4, 1/8, 1/16, 1/32.
+    return feats
+
+
+def hdv2_apply(params, img0, img1, *, timestep=0.5, scale_list=(1.0,),
+               cfg: HDv2Config = HDv2Config()):
+    """Full v2 inference (RIFE_HDv2.py:176-199).
+
+    scale_list[0] is the divisor d; the flownet runs on inputs resized
+    by 1/d (reference `scale = 1/d` passed to IFNet.forward).
+    """
+    cat = jnp.concatenate
+    d = scale_list[0]
+    x = cat([img0, img1], -1)
+    xs = scale_by(x, 1.0 / d) if d != 1 else x
+
+    # --- IFNet (IFNet_HDv2.py:56-86): accumulate half-res flow.
+    flow = _hdv2_block_apply(params["block0"], xs, cfg.block_scales[0])
+    for i in (1, 2, 3):
+        f_large = scale_by(flow, 2.0) * 2.0
+        w0, w1 = warp2(xs[..., :3], xs[..., 3:], f_large[..., 0:2], f_large[..., 2:4])
+        res = _hdv2_block_apply(
+            params[f"block{i}"], cat([w0, w1, f_large], -1), cfg.block_scales[i]
+        )
+        flow = flow + res
+    if d != 1:
+        flow = scale_by(flow, d) * d
+
+    # --- predict (RIFE_HDv2.py:176-193)
+    c0 = _hdv2_context(params["contextnet"], img0, flow[..., 0:2])
+    c1 = _hdv2_context(params["contextnet"], img1, flow[..., 2:4])
+    flow_full = scale_by(flow, 2.0) * 2.0
+    warped0, warped1 = warp2(img0, img1, flow_full[..., 0:2], flow_full[..., 2:4])
+
+    p = params["fusionnet"]
+    s = _conv2_apply(p["conv0"], cat([warped0, warped1, flow_full], -1))
+    s0 = _conv2_apply(p["down0"], s)
+    s1 = _conv2_apply(p["down1"], cat([s0, c0[0], c1[0]], -1))
+    s2 = _conv2_apply(p["down2"], cat([s1, c0[1], c1[1]], -1))
+    s3 = _conv2_apply(p["down3"], cat([s2, c0[2], c1[2]], -1))
+    u = conv_transpose2d(cat([s3, c0[3], c1[3]], -1), p["up0"]["conv"])
+    u = prelu(u, p["up0"]["alpha"])
+    u = conv_transpose2d(cat([u, s2], -1), p["up1"]["conv"])
+    u = prelu(u, p["up1"]["alpha"])
+    u = conv_transpose2d(cat([u, s1], -1), p["up2"]["conv"])
+    u = prelu(u, p["up2"]["alpha"])
+    u = conv_transpose2d(cat([u, s0], -1), p["up3"]["conv"])
+    u = prelu(u, p["up3"]["alpha"])
+    refine = conv_transpose2d(u, p["conv"])
+
+    res = jax.nn.sigmoid(refine[..., :3]) * 2 - 1
+    mask = jax.nn.sigmoid(refine[..., 3:4])
+    merged = warped0 * mask + warped1 * (1 - mask)
+    pred = jnp.clip(merged + res, 0.0, 1.0)
+    return {"flow_list": [flow], "mask": mask, "merged": [merged, pred]}

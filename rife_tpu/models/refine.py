@@ -61,6 +61,20 @@ def contextnet_apply(p, img, flow, half_res: bool = False) -> list[jnp.ndarray]:
     return feats
 
 
+def contextnet_apply_pair(p, img0, img1, flow0, flow1, half_res: bool = False):
+    """Both context pyramids in one batch-concatenated pass: every conv
+    runs at 2N (better MXU utilization) and each level's two feature
+    warps become one kernel launch.  Exactly equivalent to two
+    contextnet_apply calls."""
+    n = img0.shape[0]
+    img = jnp.concatenate([img0, img1], 0)
+    flow = jnp.concatenate([flow0, flow1], 0)
+    feats = contextnet_apply(p, img, flow, half_res)
+    c0 = [f[:n] for f in feats]
+    c1 = [f[n:] for f in feats]
+    return c0, c1
+
+
 def init_unet(key) -> dict:
     ks = jax.random.split(key, 9)
     return {

@@ -14,6 +14,7 @@ import jax
 
 from rife_tpu.models import ifnet as _ifnet
 from rife_tpu.models import v425 as _v425
+from rife_tpu.models import legacy as _legacy
 from rife_tpu.models import torch_import as _imp
 
 
@@ -60,6 +61,14 @@ _register(ModelDef(
     scale_list=(4.0, 2.0, 1.0),
 ))
 _register(ModelDef(
+    name="hdv2",
+    config=_legacy.HDv2Config(),
+    init=_legacy.init_hdv2,
+    apply=_legacy.hdv2_apply,
+    import_torch=_imp.import_hdv2,
+    scale_list=(1.0,),
+))
+_register(ModelDef(
     name="v4.25",
     config=_v425.V425Config(),
     init=_v425.init_v425,
@@ -84,6 +93,12 @@ def detect_model_from_state_dict(keys) -> str:
         keys = {k.replace("module.", "", 1) for k in keys}
     if "encode.cnn0.weight" in keys or "block4.conv0.0.0.weight" in keys:
         return "v4.25"
+    if any(k.startswith("flownet.block0.conv1.") for k in keys):
+        return "hdv2"
+    if "conv1.weight" in {k.split(".", 1)[-1] for k in keys if k.startswith("block0.")} \
+            and "block0.convblock.6.0.weight" not in keys:
+        # bare HDv2 flownet-only dict (4ch deconv head, 6-conv body)
+        return "hdv2"
     if "block0.conv0.0.0.weight" in keys:
         # timestep-plane variant has 7 input channels in block0.
         for k in keys:

@@ -133,6 +133,46 @@ def import_v425(sd: dict, cfg: V425Config = V425Config()) -> dict:
     return params
 
 
+def import_hdv2(sd: dict, cfg=None) -> dict:
+    """Import legacy v2 three-file checkpoints (oldmodel/RIFE_HDv2.py:152-168).
+
+    `sd` carries the merged state dicts prefixed "flownet." /
+    "contextnet." / "fusionnet." (see engine.checkpoint.load_checkpoint,
+    which merges the reference's flownet/contextnet/unet.pkl trio).
+    """
+    sd = strip_ddp(sd)
+    params = {}
+    for i in range(4):
+        pre = f"flownet.block{i}"
+        params[f"block{i}"] = {
+            "conv0": [_conv_prelu(sd, f"{pre}.conv0.{j}") for j in range(2)],
+            "convblock": [_conv_prelu(sd, f"{pre}.convblock.{k}") for k in range(6)],
+            "conv1": {
+                "w": deconv_w(sd[f"{pre}.conv1.weight"]),
+                "b": _np(sd[f"{pre}.conv1.bias"]),
+            },
+        }
+    params["contextnet"] = {
+        f"conv{i}": _conv2(sd, f"contextnet.conv{i}") for i in range(5)
+    }
+    fus = {name: _conv2(sd, f"fusionnet.{name}")
+           for name in ("conv0", "down0", "down1", "down2", "down3")}
+    for n in range(4):
+        fus[f"up{n}"] = {
+            "conv": {
+                "w": deconv_w(sd[f"fusionnet.up{n}.0.weight"]),
+                "b": _np(sd[f"fusionnet.up{n}.0.bias"]),
+            },
+            "alpha": _np(sd[f"fusionnet.up{n}.1.weight"]).reshape(-1),
+        }
+    fus["conv"] = {
+        "w": deconv_w(sd["fusionnet.conv.weight"]),
+        "b": _np(sd["fusionnet.conv.bias"]),
+    }
+    params["fusionnet"] = fus
+    return params
+
+
 def load_torch_pickle(path: str) -> dict:
     """Load a torch .pkl checkpoint into numpy arrays (CPU, weights only)."""
     import torch

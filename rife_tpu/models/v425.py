@@ -33,7 +33,7 @@ from rife_tpu.nn import (
     leaky_relu,
     pixel_shuffle,
 )
-from rife_tpu.ops import scale_by, warp
+from rife_tpu.ops import scale_by, warp, warp2
 
 
 @dataclass(frozen=True)
@@ -151,15 +151,13 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
             x = cat([img0, img1, f0, f1, tplane], -1)
             flow, mask, feat = v425_block_apply(p, x, None, scale_list[i])
         else:
-            wf0 = warp(f0, flow[..., 0:2])
-            wf1 = warp(f1, flow[..., 2:4])
+            wf0, wf1 = warp2(f0, f1, flow[..., 0:2], flow[..., 2:4])
             x = cat([warped0, warped1, wf0, wf1, tplane, mask, feat], -1)
             fd, mask, feat = v425_block_apply(p, x, flow, scale_list[i])
             flow = flow + fd
         mask_list.append(mask)
         flow_list.append(flow)
-        warped0 = warp(img0, flow[..., 0:2])
-        warped1 = warp(img1, flow[..., 2:4])
+        warped0, warped1 = warp2(img0, img1, flow[..., 0:2], flow[..., 2:4])
         merged.append((warped0, warped1))
 
     mask_s = jax.nn.sigmoid(mask)

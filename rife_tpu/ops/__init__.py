@@ -1,5 +1,5 @@
 from rife_tpu.ops.resize import resize_bilinear, scale_by
-from rife_tpu.ops.warp import warp, warp_xla, set_warp_impl, use_warp_impl
+from rife_tpu.ops.warp import warp, warp2, warp_xla, set_warp_impl, use_warp_impl
 from rife_tpu.ops.pad import pad_to_multiple, pad_centered, Padding
 from rife_tpu.ops.ssim import ssim, ssim_matlab, msssim
 from rife_tpu.ops.pyramid import laplacian_pyramid, lap_loss
@@ -8,6 +8,7 @@ __all__ = [
     "resize_bilinear",
     "scale_by",
     "warp",
+    "warp2",
     "warp_xla",
     "set_warp_impl",
     "use_warp_impl",

@@ -54,6 +54,16 @@ def warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return warp_xla(img, flow)
 
 
+def warp2(img_a: jnp.ndarray, img_b: jnp.ndarray, flow_a: jnp.ndarray,
+          flow_b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two warps fused into one kernel launch (every IFNet level warps an
+    img0/img1 pair): batch-concat halves the per-call layout/prep work."""
+    n = img_a.shape[0]
+    both = warp(jnp.concatenate([img_a, img_b], 0),
+                jnp.concatenate([flow_a, flow_b], 0))
+    return both[:n], both[n:]
+
+
 def warp_xla(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp img by flow.
 
