@@ -44,8 +44,10 @@ def main(argv=None):
                     help="returns image when actual ratio falls in given range threshold")
     ap.add_argument("--rmaxcycles", type=int, default=8,
                     help="limit max number of bisectional cycles")
+    from rife_tpu.models.registry import MODEL_REGISTRY
+
     ap.add_argument("--model", type=str, default=None,
-                    help="model preset: rife | rife_m | rife_2r | v4.25")
+                    choices=sorted(MODEL_REGISTRY), help="model preset")
     ap.add_argument("--modelDir", type=str, default="train_log",
                     help="directory or file with trained model checkpoint")
     ap.add_argument("--scale", type=float, default=1.0)
@@ -63,8 +65,11 @@ def main(argv=None):
     engine = build_engine(ckpt if os.path.isfile(ckpt) else None, args.model,
                           args.scale, args.dtype)
 
-    img0_np, exr0 = read_image(args.img[0])
-    img1_np, exr1 = read_image(args.img[1])
+    try:
+        img0_np, exr0 = read_image(args.img[0])
+        img1_np, exr1 = read_image(args.img[1])
+    except FileNotFoundError as e:
+        ap.error(f"cannot read input image: {e}")
     is_exr = exr0 and exr1
     mult = engine.pad_multiple
     img0, pad = pad_to_multiple(jnp.asarray(img0_np[None]), mult)

@@ -46,7 +46,8 @@ def main(argv=None):
     ap.add_argument("--ext", type=str, default="mp4")
     ap.add_argument("--exp", type=int, default=1)
     ap.add_argument("--tta", action="store_true")
-    ap.add_argument("--model", type=str, default=None)
+    from rife_tpu.models.registry import MODEL_REGISTRY
+    ap.add_argument("--model", type=str, default=None, choices=sorted(MODEL_REGISTRY))
     ap.add_argument("--modelDir", type=str, default="train_log")
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
     args = ap.parse_args(argv)
@@ -71,7 +72,10 @@ def main(argv=None):
                           args.scale, args.dtype)
 
     if args.video:
-        reader = VideoReader(args.video, dtype="uint8")
+        try:
+            reader = VideoReader(args.video, dtype="uint8")
+        except FileNotFoundError:
+            ap.error(f"cannot open video: {args.video}")
         base = os.path.splitext(os.path.basename(args.video))[0]
     else:
         reader = PngDirReader(args.img)
