@@ -44,29 +44,23 @@ class VideoJob:
     montage: bool = False
     tta: bool = False
     use_timestep: bool = False  # direct-t schedule for rife_m/v4.25
-    queue_size: int = 500
+    queue_size: int = 64  # device frames pin HBM while queued
+    batch: int = 4  # gap batching for the 2X fast path (exp==1)
     stats: dict = field(default_factory=dict)
 
 
 def _probe_fn():
-    """Jitted 32x32 ssim_matlab probe used by both gates."""
+    """Jitted scene-gate probe: 32x32 downsample + ssim_matlab in ONE
+    graph (eager per-op dispatch costs a host round trip each on
+    tunneled runtimes)."""
+    from rife_tpu.ops import resize_bilinear
 
     @jax.jit
     def probe(a, b):
-        return ssim_matlab(a, b, val_range=1.0)
+        return ssim_matlab(resize_bilinear(a, (32, 32)),
+                           resize_bilinear(b, (32, 32)), val_range=1.0)
 
     return probe
-
-
-def _to_u8(x) -> np.ndarray:
-    return np.asarray(jnp.clip(x * 255.0 + 0.5, 0, 255).astype(jnp.uint8))
-
-
-def _small(x):
-    """32x32 probe via mean-pooling-free bilinear (device-side)."""
-    from rife_tpu.ops import resize_bilinear
-
-    return resize_bilinear(x, (32, 32))
 
 
 def interpolate_video(engine, reader, writer, job: VideoJob, *,
@@ -89,12 +83,36 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
     write_err = []
 
     def write_loop():
+        # The writer thread owns ALL device->host fetches so downloads
+        # overlap with compute and the main thread never blocks on the
+        # (possibly slow) host link.  Items: np.ndarray (ready), a
+        # device frame (1,H,W,C), or (batch_dev, j) for batched mids —
+        # the last converted batch is memoized so each batch transfers
+        # once.
+        batch_cache: dict = {"dev": None, "u8": None}
+
+        def conv(x):
+            if isinstance(x, np.ndarray):
+                return x
+            if isinstance(x, tuple):
+                dev, j = x
+                if batch_cache["dev"] is not dev:
+                    batch_cache["dev"] = dev
+                    batch_cache["u8"] = to_u8_host(dev)
+                return batch_cache["u8"][j]
+            return to_u8_host(x)[0]
+
         try:
             while True:
                 item = write_q.get()
                 if item is None:
                     break
-                writer.write(item)
+                frame, orig = item
+                u8 = conv(frame)
+                if job.montage and orig is not None:
+                    u8 = np.concatenate([conv(orig), u8], axis=1)
+                writer.write(u8)
+                stats["frames_out"] += 1
         except Exception as e:  # surface encoder failures to the main thread
             write_err.append(e)
 
@@ -108,13 +126,25 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
     stats = {"frames_in": 0, "frames_out": 0, "static": 0, "scene_cut": 0}
     t0 = time.perf_counter()
 
-    def emit(frame_dev, orig=None):
-        u8 = _to_u8(pad.crop(frame_dev)[0])
-        if job.montage and orig is not None:
-            left = _to_u8(pad.crop(orig)[0])
-            u8 = np.concatenate([left, u8], axis=1)
-        write_q.put(u8)
-        stats["frames_out"] += 1
+    post_cache = {}
+
+    def to_u8_host(frame_dev) -> np.ndarray:
+        """Jitted crop+clip+u8 then ONE host fetch; returns (B,h,w,3) u8."""
+        key = frame_dev.shape
+        fn = post_cache.get(key)
+        if fn is None:
+            p0 = pad
+
+            @jax.jit
+            def _post(x):
+                y = p0.crop(x.astype(jnp.float32))
+                return jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+            post_cache[key] = fn = _post
+        return np.asarray(fn(frame_dev))
+
+    def emit(frame, orig=None):
+        write_q.put((frame, orig if job.montage else None))
 
     prep_cache = {}
 
@@ -147,6 +177,68 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
             return timestep_frames(engine, a, b, n_out_per_gap, job.tta)
         return midpoint_tree(engine, a, b, n_out_per_gap, job.tta)
 
+    # --- ordered emission with deferred (batched) gap midpoints --------
+    # For the common 2X case (exp==1, one midpoint per gap) consecutive
+    # plain gaps are stacked into one batched device call — this is what
+    # lets the chip run at its batch-4 throughput instead of batch-1
+    # (BASELINE.md north star).  Gate hits and end-of-stream flush.
+    use_batching = (n_out_per_gap == 1 and not job.tta and not job.montage
+                    and not (job.use_timestep and engine.supports_timestep)
+                    and job.batch > 1)
+    plan: list = []  # ('dev', frame, orig) | ('pend', idx)
+    pending: list = []  # (I0, I1) awaiting a batched midpoint
+    resolved: dict = {}
+
+    def drain_plan(force=False):
+        while plan:
+            kind = plan[0][0]
+            if kind == "dev":
+                _, fr, orig = plan.pop(0)
+                emit(fr, orig)
+            else:
+                _, idx, orig = plan[0]
+                if idx not in resolved:
+                    if not force:
+                        return
+                    flush_pending()
+                    continue
+                plan.pop(0)
+                emit(resolved.pop(idx), orig)
+
+    def flush_pending():
+        if not pending:
+            return
+        # Pad short flushes up to the full batch (repeat the last pair) so
+        # every flush hits the same compiled shape bucket.
+        k = len(pending)
+        items = pending + [pending[-1]] * (job.batch - k)
+        i0s = jnp.concatenate([p[1] for p in items], 0)
+        i1s = jnp.concatenate([p[2] for p in items], 0)
+        mids = engine.interpolate(i0s, i1s, 0.5, job.tta)
+        for j, (idx, _, _) in enumerate(pending):
+            resolved[idx] = (mids, j)  # converted batch-at-once in writer
+        pending.clear()
+
+    pend_counter = [0]
+
+    def queue_gap(a, b):
+        if not use_batching:
+            for m in interpolate_gap(a, b):
+                plan.append(("dev", m, a))
+            drain_plan()
+            return
+        idx = pend_counter[0]
+        pend_counter[0] += 1
+        pending.append((idx, a, b))
+        plan.append(("pend", idx, a))
+        if len(pending) >= job.batch:
+            flush_pending()
+        drain_plan()
+
+    def queue_frame(fr, orig=None):
+        plan.append(("dev", fr, orig))
+        drain_plan()
+
     last = read_q.get()
     if last is None:
         write_q.put(None)
@@ -164,10 +256,10 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
         I0 = I1
         I1, _ = device_frame(nxt)
         if not emitted_any:
-            emit(I0, I0)
+            queue_frame(I0, I0)
             emitted_any = True
 
-        s = float(probe(_small(I0), _small(I1)))
+        s = float(probe(I0, I1))
         if s > STATIC_SSIM:
             # Static pair: look one frame ahead and synthesize a
             # replacement for I1 halfway to the *next* frame.
@@ -177,25 +269,23 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
                 stats["frames_in"] += 1
                 I2, _ = device_frame(after)
                 I1_syn = engine.interpolate(I1, I2, 0.5, job.tta)
-                mids = interpolate_gap(I0, I1_syn)
-                for m in mids:
-                    emit(m, I0)
-                emit(I1, I1)
+                queue_gap(I0, I1_syn)
+                queue_frame(I1, I1)
                 I1 = I2
                 continue
             # no frame after: fall through to plain interpolation
-            mids = interpolate_gap(I0, I1)
+            queue_gap(I0, I1)
         elif s < SCENE_SSIM:
             stats["scene_cut"] += 1
-            mids = [I0] * n_out_per_gap
+            for _ in range(n_out_per_gap):
+                plan.append(("dev", I0, I0))
         else:
-            mids = interpolate_gap(I0, I1)
-        for m in mids:
-            emit(m, I0)
-        emit(I1, I1)
+            queue_gap(I0, I1)
+        queue_frame(I1, I1)
 
     if not emitted_any:
-        emit(I1, I1)
+        queue_frame(I1, I1)
+    drain_plan(force=True)
     write_q.put(None)
     wt.join()
     if write_err:
