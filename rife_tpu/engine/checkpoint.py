@@ -122,7 +122,7 @@ def load_checkpoint(path: str, model: str | None = None):
         return name, jax.tree.map(jnp.asarray, params)
 
     sd = load_torch_pickle(path)
-    name = model or detect_model_from_state_dict(sd.keys())
+    name = model or detect_model_from_state_dict(sd)
     d = MODEL_REGISTRY[name]
     params = d.import_torch(sd, d.config)
     return name, jax.tree.map(jnp.asarray, params)

@@ -86,23 +86,33 @@ def create_model(name: str, seed: int = 0):
     return d, params
 
 
-def detect_model_from_state_dict(keys) -> str:
-    """Key-based version detection (replaces the import-cascade)."""
-    keys = set(keys)
+def detect_model_from_state_dict(sd) -> str:
+    """Checkpoint version detection from keys + weight shapes (replaces
+    the reference's exception-driven import cascade).
+
+    Accepts a state dict (shape-aware: distinguishes rife from rife_m by
+    block0's input channels, 6 vs 7) or a bare key iterable.
+    """
+    shapes = {}
+    if hasattr(sd, "items") and sd and not isinstance(next(iter(sd)), int):
+        try:
+            shapes = {k: tuple(getattr(v, "shape", ())) for k, v in sd.items()}
+        except Exception:
+            shapes = {}
+    keys = set(sd)
     if any(k.startswith("module.") for k in keys):
         keys = {k.replace("module.", "", 1) for k in keys}
+        shapes = {k.replace("module.", "", 1): v for k, v in shapes.items()}
     if "encode.cnn0.weight" in keys or "block4.conv0.0.0.weight" in keys:
         return "v4.25"
     if any(k.startswith("flownet.block0.conv1.") for k in keys):
         return "hdv2"
-    if "conv1.weight" in {k.split(".", 1)[-1] for k in keys if k.startswith("block0.")} \
-            and "block0.convblock.6.0.weight" not in keys:
+    if "block0.conv1.weight" in keys and "block0.convblock.6.0.weight" not in keys:
         # bare HDv2 flownet-only dict (4ch deconv head, 6-conv body)
         return "hdv2"
     if "block0.conv0.0.0.weight" in keys:
-        # timestep-plane variant has 7 input channels in block0.
-        for k in keys:
-            if k == "block0.conv0.0.0.weight":
-                return "rife"  # caller may refine via weight shape
+        shp = shapes.get("block0.conv0.0.0.weight")
+        if shp and len(shp) == 4 and shp[1] == 7:
+            return "rife_m"  # timestep plane adds an input channel
         return "rife"
     raise ValueError("unrecognized checkpoint format")
