@@ -79,9 +79,17 @@ def main(argv=None):
                                      seed=args.seed, world_scale=world_scale)
     if args.resume:
         tree, meta = load_params(args.resume)
+        # The on-disk tree is plain lists/dicts; restore into the live
+        # pytree STRUCTURE (optax namedtuples etc.) by leaf order — both
+        # sides sort dict keys and keep tuple field order, and leafless
+        # nodes (EmptyState <-> {}) contribute nothing on either side.
+        def restore(live, saved):
+            leaves = [jnp.asarray(x) for x in jax.tree.leaves(saved)]
+            return jax.tree.unflatten(jax.tree.structure(live), leaves)
+
         state = TrainState(
-            params=jax.tree.map(jnp.asarray, tree["params"]),
-            opt_state=jax.tree.map(jnp.asarray, tree["opt_state"]),
+            params=restore(state.params, tree["params"]),
+            opt_state=restore(state.opt_state, tree["opt_state"]),
             step=jnp.asarray(tree["step"], jnp.int32),
         )
         print(f"resumed from {args.resume} at step {int(state.step)}")

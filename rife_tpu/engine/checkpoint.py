@@ -64,7 +64,12 @@ def _unflatten(flat: dict):
             return node
         keys = list(node.keys())
         if keys and all(k.isdigit() for k in keys):
-            return [listify(node[str(i)]) for i in range(len(keys))]
+            # Index gaps are real: leafless tuple entries (e.g. optax
+            # EmptyState) write no tensors.  Fill them with {} (also
+            # leafless) so leaf order is preserved on restore.
+            hi = max(int(k) for k in keys)
+            return [listify(node[str(i)]) if str(i) in node else {}
+                    for i in range(hi + 1)]
         return {k: listify(v) for k, v in node.items()}
 
     return listify(root)

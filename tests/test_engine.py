@@ -124,3 +124,49 @@ def test_torch_checkpoint_import(tmp_path):
     a, b = _pair(np.random.default_rng(1))
     out = eng.interpolate(a, b)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_optimizer_state_checkpoint_roundtrip(tmp_path):
+    """Full TrainState (params + optax opt_state with EmptyState gaps +
+    step) must survive save/restore — regression for the unflatten index
+    gap left by leafless tuple entries."""
+    import jax
+    import jax.numpy as jnp
+
+    from rife_tpu.models.registry import MODEL_REGISTRY
+    from rife_tpu.train import TrainState, make_train_step, train_init
+
+    d = MODEL_REGISTRY["rife"]
+    state, tx, _ = train_init(d, total_steps=10)
+    step = make_train_step(d, tx)
+    r = np.random.default_rng(0)
+    batch = {
+        "img0": r.random((2, 32, 32, 3), np.float32),
+        "img1": r.random((2, 32, 32, 3), np.float32),
+        "gt": r.random((2, 32, 32, 3), np.float32),
+        "timestep": np.full((2,), 0.5, np.float32),
+    }
+    state, _ = step(state, batch)
+
+    path = str(tmp_path / "full.rtpu")
+    save_params(path, {
+        "params": jax.tree.map(np.asarray, state.params),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "step": np.asarray(int(state.step)),
+    }, meta={"model": "rife"})
+    tree, _ = load_params(path)
+
+    def restore(live, saved):
+        leaves = [jnp.asarray(x) for x in jax.tree.leaves(saved)]
+        return jax.tree.unflatten(jax.tree.structure(live), leaves)
+
+    state2 = TrainState(
+        params=restore(state.params, tree["params"]),
+        opt_state=restore(state.opt_state, tree["opt_state"]),
+        step=jnp.asarray(tree["step"], jnp.int32),
+    )
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(state2.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # training continues from the restored state
+    state3, metrics = step(state2, batch)
+    assert int(state3.step) == 2 and np.isfinite(float(metrics["loss"]))
