@@ -96,9 +96,9 @@ def load_checkpoint(path: str, model: str | None = None):
 
     Returns (model_name, params).  Torch pickles are converted through
     the importer; model auto-detection replaces the reference's
-    import-cascade (inference_img.py:25-46).  A directory containing the
-    legacy v2 trio (flownet/contextnet/unet.pkl) loads as "hdv2"; the
-    even older v1 trio (SE-block IFNet_HD) is not ported — v2+ only.
+    import-cascade (inference_img.py:25-46).  A directory containing a
+    legacy trio (flownet/contextnet/unet.pkl) loads as "hd" (v1,
+    SE-block IFNet_HD) or "hdv2" depending on its keys.
     """
     from rife_tpu.models.registry import MODEL_REGISTRY, detect_model_from_state_dict
     from rife_tpu.models.torch_import import load_torch_pickle
@@ -112,12 +112,9 @@ def load_checkpoint(path: str, model: str | None = None):
             if any(k.startswith("module.") for k in part):
                 part = {k.replace("module.", "", 1): v for k, v in part.items()}
             sd.update({f"{prefix}.{k}": v for k, v in part.items()})
-        if "flownet.block0.convblock.6.0.weight" in sd:
-            raise NotImplementedError(
-                "this looks like a RIFE v1 (HD) checkpoint; only v2+ legacy "
-                "checkpoints are supported — re-export with a newer RIFE")
-        d = MODEL_REGISTRY["hdv2"]
-        return "hdv2", jax.tree.map(jnp.asarray, d.import_torch(sd, d.config))
+        name = detect_model_from_state_dict(sd)  # "hd" (v1) or "hdv2"
+        d = MODEL_REGISTRY[name]
+        return name, jax.tree.map(jnp.asarray, d.import_torch(sd, d.config))
 
     with open(path, "rb") as f:
         magic = f.read(8)

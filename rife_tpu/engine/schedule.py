@@ -26,7 +26,9 @@ def midpoint_tree(engine, img0, img1, n: int, tta: bool = False) -> List:
     second = midpoint_tree(engine, mid, img1, n // 2, tta)
     if n % 2:
         return [*first, mid, *second]
-    return [*first, mid, *second][:n]
+    # Even n omits the midpoint (reference make_inference,
+    # inference_video.py:186-188): n=2 yields t=0.25 and t=0.75.
+    return [*first, *second]
 
 
 def exp_doubling(engine, frames: List, passes: int, tta: bool = False) -> List:

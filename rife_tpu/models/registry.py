@@ -61,6 +61,14 @@ _register(ModelDef(
     scale_list=(4.0, 2.0, 1.0),
 ))
 _register(ModelDef(
+    name="hd",
+    config=_legacy.HDConfig(),
+    init=_legacy.init_hd,
+    apply=_legacy.hd_apply,
+    import_torch=_imp.import_hd,
+    scale_list=(1.0,),
+))
+_register(ModelDef(
     name="hdv2",
     config=_legacy.HDv2Config(),
     init=_legacy.init_hdv2,
@@ -105,6 +113,8 @@ def detect_model_from_state_dict(sd) -> str:
         shapes = {k.replace("module.", "", 1): v for k, v in shapes.items()}
     if "encode.cnn0.weight" in keys or "block4.conv0.0.0.weight" in keys:
         return "v4.25"
+    if any(".res0." in k for k in keys):
+        return "hd"  # v1: SE ResBlocks named res0..res5 (IFNet_HD.py:58-63)
     if any(k.startswith("flownet.block0.conv1.") for k in keys):
         return "hdv2"
     if "block0.conv1.weight" in keys and "block0.convblock.6.0.weight" not in keys:

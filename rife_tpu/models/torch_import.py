@@ -173,6 +173,85 @@ def import_hdv2(sd: dict, cfg=None) -> dict:
     return params
 
 
+def _fold_bn(sd, conv_key: str, bn_key: str) -> dict:
+    """Fold eval-mode BatchNorm2d into the preceding bias-free conv:
+    w' = w * gamma/sqrt(var+eps) (per out channel), b' = beta - mean*scale.
+    Exact for inference (v1's IFNet_HD uses conv(bias=False)+BN throughout,
+    IFNet_HD.py:10-24)."""
+    w = conv_w(sd[f"{conv_key}.weight"])  # HWIO; O is the last axis
+    g = _np(sd[f"{bn_key}.weight"]).astype(np.float64)
+    b = _np(sd[f"{bn_key}.bias"]).astype(np.float64)
+    m = _np(sd[f"{bn_key}.running_mean"]).astype(np.float64)
+    v = _np(sd[f"{bn_key}.running_var"]).astype(np.float64)
+    s = g / np.sqrt(v + 1e-5)
+    return {"w": (w * s).astype(np.float32), "b": (b - m * s).astype(np.float32)}
+
+
+def _se_res_hd_flow(sd, prefix) -> dict:
+    """IFNet_HD.ResBlock (IFNet_HD.py:27-49): conv1 5x5 + BN + PReLU,
+    conv2 3x3 + BN, SE gate; conv0 is Identity (same width, stride 1)."""
+    return {
+        "conv1": {"conv": _fold_bn(sd, f"{prefix}.conv1.0", f"{prefix}.conv1.1"),
+                  "alpha": _np(sd[f"{prefix}.conv1.2.weight"]).reshape(-1)},
+        "conv2": _fold_bn(sd, f"{prefix}.conv2.0", f"{prefix}.conv2.1"),
+        "relu1": _np(sd[f"{prefix}.relu1.weight"]).reshape(-1),
+        "relu2": _np(sd[f"{prefix}.relu2.weight"]).reshape(-1),
+        "fc1": {"w": conv_w(sd[f"{prefix}.fc1.weight"])},
+        "fc2": {"w": conv_w(sd[f"{prefix}.fc2.weight"])},
+    }
+
+
+def _se_res_hd(sd, prefix) -> dict:
+    """RIFE_HD.ResBlock (RIFE_HD.py:37-61): stride-2, biased convs, no BN;
+    conv0 is a real 3x3/s2 shortcut conv."""
+    return {
+        "conv0": {"w": conv_w(sd[f"{prefix}.conv0.weight"])},
+        "conv1": _conv_prelu(sd, f"{prefix}.conv1"),
+        "conv2": {"w": conv_w(sd[f"{prefix}.conv2.0.weight"]),
+                  "b": _np(sd[f"{prefix}.conv2.0.bias"])},
+        "relu1": _np(sd[f"{prefix}.relu1.weight"]).reshape(-1),
+        "relu2": _np(sd[f"{prefix}.relu2.weight"]).reshape(-1),
+        "fc1": {"w": conv_w(sd[f"{prefix}.fc1.weight"])},
+        "fc2": {"w": conv_w(sd[f"{prefix}.fc2.weight"])},
+    }
+
+
+def import_hd(sd: dict, cfg=None) -> dict:
+    """Import legacy v1 three-file checkpoints (oldmodel/RIFE_HD.py:167-189),
+    merged under "flownet." / "contextnet." / "fusionnet." prefixes (see
+    engine.checkpoint.load_checkpoint).  BatchNorm is folded at import."""
+    sd = strip_ddp(sd)
+    params = {}
+    for i in range(4):
+        pre = f"flownet.block{i}"
+        blk = {
+            "conv0": {"conv": _fold_bn(sd, f"{pre}.conv0.0", f"{pre}.conv0.1"),
+                      "alpha": _np(sd[f"{pre}.conv0.2.weight"]).reshape(-1)},
+            "conv1": {"w": conv_w(sd[f"{pre}.conv1.weight"]),
+                      "b": _np(sd[f"{pre}.conv1.bias"])},
+        }
+        for j in range(6):
+            blk[f"res{j}"] = _se_res_hd_flow(sd, f"{pre}.res{j}")
+        params[f"block{i}"] = blk
+    ctx = {"conv0": _conv_prelu(sd, "contextnet.conv0")}
+    for i in range(1, 5):
+        ctx[f"conv{i}"] = _se_res_hd(sd, f"contextnet.conv{i}")
+    params["contextnet"] = ctx
+    fus = {"conv0": _conv_prelu(sd, "fusionnet.conv0")}
+    for i in range(4):
+        fus[f"down{i}"] = _se_res_hd(sd, f"fusionnet.down{i}")
+    for n in range(4):
+        fus[f"up{n}"] = {
+            "conv": {"w": deconv_w(sd[f"fusionnet.up{n}.0.weight"]),
+                     "b": _np(sd[f"fusionnet.up{n}.0.bias"])},
+            "alpha": _np(sd[f"fusionnet.up{n}.1.weight"]).reshape(-1),
+        }
+    fus["conv"] = {"w": conv_w(sd["fusionnet.conv.weight"]),
+                   "b": _np(sd["fusionnet.conv.bias"])}
+    params["fusionnet"] = fus
+    return params
+
+
 def load_torch_pickle(path: str) -> dict:
     """Load a torch .pkl checkpoint into numpy arrays (CPU, weights only)."""
     import torch

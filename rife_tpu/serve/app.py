@@ -17,9 +17,12 @@ Two frontends over the same service layer:
 """
 from __future__ import annotations
 
+import base64
+import hmac
 import json
 import os
 import traceback
+from pathlib import Path
 
 import numpy as np
 
@@ -51,8 +54,32 @@ def load_engine(model_dir=None):
 
 
 class _Api:
-    def __init__(self, engine):
+    """JSON API over the service layer.
+
+    Request-supplied filesystem paths are CONFINED: inputs must resolve
+    under `upload_dir`, outputs under `output_dir` — a network peer must
+    not be able to read or overwrite arbitrary files the process can
+    reach (round-1 advisor finding).
+    """
+
+    def __init__(self, engine, upload_dir=None, output_dir=None):
         self.engine = engine
+        self.upload_dir = Path(upload_dir or config.UPLOAD_DIR).resolve()
+        self.output_dir = Path(output_dir or config.OUTPUT_DIR).resolve()
+
+    def _in_path(self, p) -> str:
+        q = Path(p).resolve()
+        if not q.is_relative_to(self.upload_dir):
+            raise PermissionError(f"input path outside upload dir: {p}")
+        return str(q)
+
+    def _out_path(self, p, default_name: str) -> str:
+        if not p:
+            return str(self.output_dir / default_name)
+        q = Path(p).resolve()
+        if not q.is_relative_to(self.output_dir):
+            raise PermissionError(f"output path outside output dir: {p}")
+        return str(q)
 
     def health(self, _=None):
         return {"status": "ok" if self.engine else "degraded",
@@ -61,9 +88,9 @@ class _Api:
     def interpolate_pair(self, body):
         from rife_tpu.utils import read_image
 
-        img0, _ = read_image(body["img0_path"])
-        img1, _ = read_image(body["img1_path"])
-        out = body.get("out", str(config.OUTPUT_DIR / "pair.mp4"))
+        img0, _ = read_image(self._in_path(body["img0_path"]))
+        img1, _ = read_image(self._in_path(body["img1_path"]))
+        out = self._out_path(body.get("out"), "pair.mp4")
         return services.interpolate_pair_to_video(
             self.engine, img0, img1, out,
             passes=int(body.get("passes", 4)), fps=float(body.get("fps", config.DEFAULT_FPS)),
@@ -71,24 +98,37 @@ class _Api:
         )
 
     def interpolate_video(self, body):
-        out = body.get("out", str(config.OUTPUT_DIR / "video.mp4"))
+        out = self._out_path(body.get("out"), "video.mp4")
         return services.interpolate_video_file(
-            self.engine, body["path"], out, exp=int(body.get("exp", 1))
+            self.engine, self._in_path(body["path"]), out, exp=int(body.get("exp", 1))
         )
 
     def chain(self, body):
-        out = body.get("out", str(config.OUTPUT_DIR / "chained.mp4"))
-        return services.chained_transitions(self.engine, body["videos"], out)
+        out = self._out_path(body.get("out"), "chained.mp4")
+        videos = [self._in_path(v) for v in body["videos"]]
+        return services.chained_transitions(self.engine, videos, out)
 
     def reencode(self, body):
-        out = body.get("out", str(config.OUTPUT_DIR / "reencoded.mp4"))
-        return services.reencode_video(body["path"], out)
+        out = self._out_path(body.get("out"), "reencoded.mp4")
+        return services.reencode_video(self._in_path(body["path"]), out)
 
 
-def serve_http(engine, host: str, port: int):
+def serve_http(engine, host: str, port: int, *, upload_dir=None,
+               output_dir=None, auth=None):
+    """Stdlib JSON API. `auth` is (user, password) — defaults to the
+    AUTH_USERNAME/AUTH_PASSWORD env pair (same contract the reference
+    wires into gradio, app.py:442-451); when set, every request must
+    carry HTTP basic auth."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-    api = _Api(engine)
+    if auth is None and config.AUTH_USERNAME and config.AUTH_PASSWORD:
+        auth = (config.AUTH_USERNAME, config.AUTH_PASSWORD)
+    expected = None
+    if auth:
+        expected = "Basic " + base64.b64encode(
+            f"{auth[0]}:{auth[1]}".encode()).decode()
+
+    api = _Api(engine, upload_dir=upload_dir, output_dir=output_dir)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -99,16 +139,32 @@ def serve_http(engine, host: str, port: int):
             self.end_headers()
             self.wfile.write(data)
 
+        def _authed(self) -> bool:
+            if expected is None:
+                return True
+            got = self.headers.get("Authorization", "")
+            if hmac.compare_digest(got, expected):
+                return True
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", 'Basic realm="rife_tpu"')
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return False
+
         def do_GET(self):
+            if not self._authed():
+                return
             if self.path == "/health":
                 self._send(200, api.health())
             else:
                 self._send(404, {"error": "not found"})
 
         def do_POST(self):
+            if not self._authed():
+                return
             name = self.path.strip("/")
             fn = getattr(api, name, None)
-            if fn is None or name.startswith("_"):
+            if fn is None or name.startswith("_") or not callable(fn):
                 self._send(404, {"error": f"unknown endpoint {self.path}"})
                 return
             if api.engine is None and name != "reencode":
@@ -118,6 +174,8 @@ def serve_http(engine, host: str, port: int):
                 length = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 self._send(200, fn(body))
+            except PermissionError as e:
+                self._send(403, {"error": str(e)})
             except FileNotFoundError as e:
                 self._send(404, {"error": str(e)})
             except Exception as e:
@@ -220,10 +278,21 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=config.SERVER_PORT)
     ap.add_argument("--modelDir", default=None)
     ap.add_argument("--http", action="store_true", help="force the JSON API frontend")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip startup compilation of the common shape bucket")
     args = ap.parse_args(argv)
 
     config.ensure_dirs()
     engine = load_engine(args.modelDir)
+
+    if engine is not None and not args.no_warmup:
+        # Pre-compile the service layer's most common bucket (the
+        # centered min-512 %32 pad contract) so the FIRST request isn't
+        # a multi-minute compile on tunneled stacks.
+        try:
+            engine.warmup((1, 512, 512, 3))
+        except Exception:
+            traceback.print_exc()
 
     if not args.http:
         try:

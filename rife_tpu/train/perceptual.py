@@ -78,6 +78,11 @@ def vgg_perceptual_loss(params, pred: jnp.ndarray, target: jnp.ndarray) -> jnp.n
     fp = _features(params, (pred - mean) / std)
     ft = _features(params, (target - mean) / std)
     loss = jnp.zeros((), jnp.float32)
+    # Per-term 0.1 factor and detached targets match the reference
+    # (model/loss.py:118-119: `weights[k] * (X - Y.detach()).abs().mean() * 0.1`)
+    # so reference loss-weight hyperparameters transfer unchanged.
     for w, a, b in zip(_WEIGHTS, fp, ft):
-        loss = loss + w * jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+        b = lax.stop_gradient(b)
+        loss = loss + 0.1 * w * jnp.mean(
+            jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
     return loss

@@ -49,18 +49,26 @@ class VideoJob:
     stats: dict = field(default_factory=dict)
 
 
+_PROBE = None
+
+
 def _probe_fn():
     """Jitted scene-gate probe: 32x32 downsample + ssim_matlab in ONE
     graph (eager per-op dispatch costs a host round trip each on
-    tunneled runtimes)."""
-    from rife_tpu.ops import resize_bilinear
+    tunneled runtimes).  Process-wide singleton: rebuilding the jit
+    wrapper per interpolate_video call re-traced on every short service
+    request (compiles are ~minutes on tunneled stacks)."""
+    global _PROBE
+    if _PROBE is None:
+        from rife_tpu.ops import resize_bilinear
 
-    @jax.jit
-    def probe(a, b):
-        return ssim_matlab(resize_bilinear(a, (32, 32)),
-                           resize_bilinear(b, (32, 32)), val_range=1.0)
+        @jax.jit
+        def probe(a, b):
+            return ssim_matlab(resize_bilinear(a, (32, 32)),
+                               resize_bilinear(b, (32, 32)), val_range=1.0)
 
-    return probe
+        _PROBE = probe
+    return _PROBE
 
 
 def interpolate_video(engine, reader, writer, job: VideoJob, *,
@@ -177,6 +185,14 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
             return timestep_frames(engine, a, b, n_out_per_gap, job.tta)
         return midpoint_tree(engine, a, b, n_out_per_gap, job.tta)
 
+    def center_crop_montage(np_frame):
+        # Reference montages the CENTER HALF of the source
+        # (inference_video.py:196-205: left = w//4, w = w//2, applied to
+        # every read frame) — the model runs on the cropped frames.
+        w = np_frame.shape[1]
+        left = w // 4
+        return np_frame[:, left:left + w // 2]
+
     # --- ordered emission with deferred (batched) gap midpoints --------
     # For the common 2X case (exp==1, one midpoint per gap) consecutive
     # plain gaps are stacked into one batched device call — this is what
@@ -221,16 +237,16 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
 
     pend_counter = [0]
 
-    def queue_gap(a, b):
+    def queue_gap(a, b, orig):
         if not use_batching:
             for m in interpolate_gap(a, b):
-                plan.append(("dev", m, a))
+                plan.append(("dev", m, orig))
             drain_plan()
             return
         idx = pend_counter[0]
         pend_counter[0] += 1
         pending.append((idx, a, b))
-        plan.append(("pend", idx, a))
+        plan.append(("pend", idx, orig))
         if len(pending) >= job.batch:
             flush_pending()
         drain_plan()
@@ -239,52 +255,73 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
         plan.append(("dev", fr, orig))
         drain_plan()
 
-    last = read_q.get()
+    def read_next():
+        fr = read_q.get()
+        if fr is None:
+            return None
+        stats["frames_in"] += 1
+        if job.montage:
+            fr = center_crop_montage(fr)
+        return fr
+
+    # Main loop mirrors the reference's temp/break_flag contract
+    # (inference_video.py:213-274): per iteration write the SOURCE frame
+    # (`src`, ref `lastframe`) then the gap's midpoints; on a static pair
+    # (ssim > 0.996) read one frame ahead, synthesize inference(I0, next)
+    # as a REPLACEMENT for the duplicate (it is both written in place of
+    # the duplicate and used as I0 of the next gap), re-run the scene-cut
+    # gate on the synthesized frame, and process the read-ahead frame
+    # normally next iteration (carried in `temp`).  At end-of-stream
+    # inside the static branch, synthesize against the duplicate itself
+    # and terminate after the gap (`break_flag`) — never re-read the
+    # drained queue (round-1 deadlock).
+    last = read_next()
     if last is None:
         write_q.put(None)
         wt.join()
         return stats
     I1, pad = device_frame(last)
-    stats["frames_in"] += 1
-    emitted_any = False
+    src = I1        # device frame pending emission as the next source frame
+    temp = None     # device read-ahead carried out of a static gate
 
     while True:
-        nxt = read_q.get()
-        if nxt is None:
-            break
-        stats["frames_in"] += 1
-        I0 = I1
-        I1, _ = device_frame(nxt)
-        if not emitted_any:
-            queue_frame(I0, I0)
-            emitted_any = True
+        if temp is not None:
+            I0, I1 = I1, temp
+            temp = None
+        else:
+            nxt = read_next()
+            if nxt is None:
+                break
+            I0 = I1
+            I1, _ = device_frame(nxt)
 
         s = float(probe(I0, I1))
+        break_flag = False
         if s > STATIC_SSIM:
-            # Static pair: look one frame ahead and synthesize a
-            # replacement for I1 halfway to the *next* frame.
             stats["static"] += 1
-            after = read_q.get()
-            if after is not None:
-                stats["frames_in"] += 1
-                I2, _ = device_frame(after)
-                I1_syn = engine.interpolate(I1, I2, 0.5, job.tta)
-                queue_gap(I0, I1_syn)
-                queue_frame(I1, I1)
-                I1 = I2
-                continue
-            # no frame after: fall through to plain interpolation
-            queue_gap(I0, I1)
-        elif s < SCENE_SSIM:
+            after = read_next()
+            if after is None:
+                break_flag = True
+                nxt_dev = I1  # duplicate itself (ref: frame = lastframe)
+            else:
+                nxt_dev, _ = device_frame(after)
+                temp = nxt_dev
+            I1 = engine.interpolate(I0, nxt_dev, 0.5, job.tta)
+            s = float(probe(I0, I1))
+
+        queue_frame(src, src)
+        if s < SCENE_SSIM:
             stats["scene_cut"] += 1
             for _ in range(n_out_per_gap):
-                plan.append(("dev", I0, I0))
+                plan.append(("dev", I0, src))
+            drain_plan()
         else:
-            queue_gap(I0, I1)
-        queue_frame(I1, I1)
+            queue_gap(I0, I1, src)
+        src = I1
+        if break_flag:
+            break
 
-    if not emitted_any:
-        queue_frame(I1, I1)
+    queue_frame(src, src)
     drain_plan(force=True)
     write_q.put(None)
     wt.join()

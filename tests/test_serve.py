@@ -94,13 +94,19 @@ def test_http_api(engine, tmp_path, rng):
 
     from rife_tpu.serve.app import serve_http
 
-    i0 = str(tmp_path / "i0.png")
-    i1 = str(tmp_path / "i1.png")
+    up = tmp_path / "uploads"
+    outd = tmp_path / "outputs"
+    up.mkdir()
+    outd.mkdir()
+    i0 = str(up / "i0.png")
+    i1 = str(up / "i1.png")
     cv2.imwrite(i0, (rng.random((40, 56, 3)) * 255).astype(np.uint8))
     cv2.imwrite(i1, (rng.random((40, 56, 3)) * 255).astype(np.uint8))
 
     port = 7899
-    t = threading.Thread(target=serve_http, args=(engine, "127.0.0.1", port), daemon=True)
+    t = threading.Thread(
+        target=serve_http, args=(engine, "127.0.0.1", port),
+        kwargs={"upload_dir": str(up), "output_dir": str(outd)}, daemon=True)
     t.start()
     time.sleep(0.5)
 
@@ -109,7 +115,7 @@ def test_http_api(engine, tmp_path, rng):
 
     body = json.dumps({
         "img0_path": i0, "img1_path": i1, "passes": 1,
-        "out": str(tmp_path / "api.mp4"),
+        "out": str(outd / "api.mp4"),
     }).encode()
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/interpolate_pair", data=body, method="POST")
@@ -123,3 +129,66 @@ def test_http_api(engine, tmp_path, rng):
         assert False, "expected 404"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+    # input outside the upload dir -> 403 (path confinement)
+    body = json.dumps({
+        "img0_path": "/etc/hostname", "img1_path": i1, "passes": 1,
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/interpolate_pair", data=body, method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 403"
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
+
+    # output escaping the output dir -> 403
+    body = json.dumps({
+        "img0_path": i0, "img1_path": i1, "passes": 1,
+        "out": str(tmp_path / "escape.mp4"),
+    }).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/interpolate_pair", data=body, method="POST")
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 403"
+    except urllib.error.HTTPError as e:
+        assert e.code == 403
+
+
+def test_http_api_basic_auth(engine, tmp_path):
+    import base64
+
+    from rife_tpu.serve.app import serve_http
+
+    port = 7898
+    t = threading.Thread(
+        target=serve_http, args=(engine, "127.0.0.1", port),
+        kwargs={"upload_dir": str(tmp_path), "output_dir": str(tmp_path),
+                "auth": ("admin", "secret")}, daemon=True)
+    t.start()
+    time.sleep(0.5)
+
+    # no credentials -> 401
+    try:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/health")
+        assert False, "expected 401"
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+
+    # wrong credentials -> 401
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/health")
+    req.add_header("Authorization",
+                   "Basic " + base64.b64encode(b"admin:wrong").decode())
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected 401"
+    except urllib.error.HTTPError as e:
+        assert e.code == 401
+
+    # correct credentials -> 200
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/health")
+    req.add_header("Authorization",
+                   "Basic " + base64.b64encode(b"admin:secret").decode())
+    with urllib.request.urlopen(req) as r:
+        assert json.load(r)["status"] == "ok"

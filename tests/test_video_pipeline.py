@@ -68,18 +68,51 @@ def test_scene_cut_gate(engine):
     np.testing.assert_array_equal(writer.frames[1], writer.frames[0])
 
 
-def test_static_gate(engine):
+def test_static_gate_preserves_frame_count(engine):
+    # N static frames at 2X must yield 2N-1 outputs, same as a normal
+    # clip (reference temp/break_flag contract, inference_video.py:231-274).
+    # Round-1 regression: the read-ahead frame was dropped (3 outputs for
+    # N=3 instead of 5).
     frames = _moving_frames(3, shift=0)  # identical frames -> ssim > 0.996
     writer = ListWriter()
     stats = interpolate_video(engine, ListReader(frames), writer, VideoJob(exp=1))
     assert stats["static"] >= 1
+    assert stats["frames_in"] == 3
+    assert len(writer.frames) == 5
+
+
+def test_static_final_pair_terminates(engine):
+    # Round-1 regression: a clip whose LAST pair is static consumed the
+    # reader's None sentinel in the read-ahead and deadlocked forever.
+    frames = _moving_frames(2, shift=0)
+    writer = ListWriter()
+    stats = interpolate_video(engine, ListReader(frames), writer, VideoJob(exp=1))
+    assert stats["static"] == 1
+    assert len(writer.frames) == 3  # src, mid, synthesized final
+
+
+def test_static_gate_synthesizes_replacement(engine):
+    # The duplicate frame is REPLACED in the output stream by
+    # inference(I0, next) (reference inference_video.py:231-243) — with a
+    # static first pair then motion, output[2] must NOT equal the
+    # duplicate input frame.
+    moving = _moving_frames(2, shift=8)
+    frames = [moving[0], moving[0].copy(), moving[1]]
+    writer = ListWriter()
+    stats = interpolate_video(engine, ListReader(frames), writer, VideoJob(exp=1))
+    assert stats["static"] == 1
+    assert len(writer.frames) == 5
+    dup_u8 = (np.clip(frames[1], 0, 1) * 255 + 0.5).astype(np.uint8)
+    assert not np.array_equal(writer.frames[2], dup_u8)
 
 
 def test_montage(engine):
     frames = _moving_frames(2)
     writer = ListWriter()
     interpolate_video(engine, ListReader(frames), writer, VideoJob(exp=1, montage=True))
-    assert writer.frames[0].shape[1] == frames[0].shape[1] * 2
+    # Reference montages the CENTER HALF of the source beside the output
+    # (inference_video.py:196-205): total width == w//2 * 2.
+    assert writer.frames[0].shape[1] == (frames[0].shape[1] // 2) * 2
 
 
 def test_yuv420_roundtrip(tmp_path):
