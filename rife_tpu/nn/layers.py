@@ -20,6 +20,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
+from rife_tpu.nn import tiled as _tiled
+
 _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 
 # Precision policy: JAX's default conv/matmul precision silently truncates
@@ -32,6 +34,35 @@ def _precision_for(dtype):
     return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
 
 
+# H-tiling dispatch for large-spatial convs (see rife_tpu.nn.tiled).
+# None = auto (tile on TPU only); True/False force for tests/benchmarks.
+_TILING_OVERRIDE: bool | None = None
+
+
+def _tiling_on() -> bool:
+    if _TILING_OVERRIDE is not None:
+        return _TILING_OVERRIDE
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+class use_conv_tiling:
+    """Context manager forcing the tiled-conv rewrite on or off."""
+
+    def __init__(self, enabled: bool | None):
+        self.enabled = enabled
+
+    def __enter__(self):
+        global _TILING_OVERRIDE
+        self._prev = _TILING_OVERRIDE
+        _TILING_OVERRIDE = self.enabled
+
+    def __exit__(self, *a):
+        global _TILING_OVERRIDE
+        _TILING_OVERRIDE = self._prev
+
+
 def conv2d(x: jnp.ndarray, p: dict, stride: int = 1, padding: int | None = None,
            dilation: int = 1) -> jnp.ndarray:
     """3x3-style conv with torch Conv2d(padding=p) semantics."""
@@ -39,15 +70,21 @@ def conv2d(x: jnp.ndarray, p: dict, stride: int = 1, padding: int | None = None,
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
         padding = (kh - 1) // 2 * dilation
-    out = lax.conv_general_dilated(
-        x, w,
-        window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
-        rhs_dilation=(dilation, dilation),
-        dimension_numbers=_DIMNUMS,
-        precision=_precision_for(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if (kh == 3 and kw == 3 and dilation == 1 and padding == 1
+            and stride in (1, 2) and x.ndim == 4
+            and x.shape[1] * x.shape[2] >= _tiled.MIN_PIXELS
+            and x.shape[1] % stride == 0 and _tiling_on()):
+        out = _tiled.conv2d_tiled(x, w, stride, _precision_for(x.dtype))
+    else:
+        out = lax.conv_general_dilated(
+            x, w,
+            window_strides=(stride, stride),
+            padding=((padding, padding), (padding, padding)),
+            rhs_dilation=(dilation, dilation),
+            dimension_numbers=_DIMNUMS,
+            precision=_precision_for(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out
@@ -94,15 +131,19 @@ def conv_transpose2d(x: jnp.ndarray, p: dict, stride: int = 2,
     w = p["w"].astype(x.dtype)  # (kh, kw, I, O), already spatially flipped
     k = w.shape[0]
     pad = k - 1 - torch_padding
-    out = lax.conv_general_dilated(
-        x, w,
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        lhs_dilation=(stride, stride),
-        dimension_numbers=_DIMNUMS,
-        precision=_precision_for(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    if (k == 4 and stride == 2 and torch_padding == 1 and x.ndim == 4
+            and x.shape[1] * x.shape[2] >= _tiled.MIN_PIXELS and _tiling_on()):
+        out = _tiled.conv_transpose2d_tiled(x, w, _precision_for(x.dtype))
+    else:
+        out = lax.conv_general_dilated(
+            x, w,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=_DIMNUMS,
+            precision=_precision_for(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out
