@@ -50,6 +50,12 @@ def main(argv=None):
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--vis_interval", type=int, default=1000,
+                    help="image-panel cadence in steps (0 disables; ref train.py:75)")
+    ap.add_argument("--val_interval", type=int, default=5,
+                    help="validation cadence in epochs (ref train.py:92)")
+    ap.add_argument("--val_batches", type=int, default=None,
+                    help="cap validation batches (default: full 5%% split)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -95,7 +101,9 @@ def main(argv=None):
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
     compute_dtype = jnp.dtype(args.dtype)
-    train_step = make_train_step(model_def, tx, mesh=mesh, compute_dtype=compute_dtype)
+    with_vis = args.vis_interval > 0
+    train_step = make_train_step(model_def, tx, mesh=mesh, compute_dtype=compute_dtype,
+                                 with_vis=with_vis)
     eval_step = make_eval_step(model_def, mesh=mesh, compute_dtype=compute_dtype)
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -109,7 +117,10 @@ def main(argv=None):
     for batch in batches:
         t1 = time.perf_counter()
         t_data = t1 - t0
-        state, metrics = train_step(state, shard_batch(batch, mesh))
+        if with_vis:
+            state, metrics, vis = train_step(state, shard_batch(batch, mesh))
+        else:
+            state, metrics = train_step(state, shard_batch(batch, mesh))
         step += 1
         if step % 200 == 0 or step == 1:
             m = {k: float(v) for k, v in metrics.items()}
@@ -118,6 +129,11 @@ def main(argv=None):
                      t_data=round(t_data, 4), t_train=round(t_train, 4))
             logger.log("train", step, m)
             print(json.dumps(m))
+        if with_vis and (step % args.vis_interval == 0 or step == 1) \
+                and jax.process_index() == 0:
+            from rife_tpu.utils.viz import dump_panels
+
+            dump_panels(logger, step, jax.device_get(vis))
         epoch_done = step % steps_per_epoch == 0
         if epoch_done and jax.process_index() == 0:
             save_params(
@@ -129,16 +145,24 @@ def main(argv=None):
                 },
                 meta={"model": args.model, "step": step},
             )
-        if epoch_done and (step // steps_per_epoch) % 5 == 0:
-            psnrs = []
-            for i, vb in zip(range(4), batch_iterator(val_ds, args.batch_size,
-                                                      crop=args.crop, augment=False,
-                                                      epochs=1)):
+        if epoch_done and (step // steps_per_epoch) % args.val_interval == 0:
+            # Full 5% split (reference evaluate(), train.py:97-136); the
+            # teacher PSNR is logged alongside the student's.
+            psnrs, psnrs_tea = [], []
+            val_iter = batch_iterator(val_ds, args.batch_size, crop=args.crop,
+                                      augment=False, epochs=1)
+            for i, vb in enumerate(val_iter):
+                if args.val_batches is not None and i >= args.val_batches:
+                    break
                 out = eval_step(state.params, shard_batch(vb, mesh))
                 psnrs.append(np.asarray(out["psnr"]))
+                psnrs_tea.append(np.asarray(out["psnr_tea"]))
             if psnrs:
-                logger.log("validate", step, {"psnr": float(np.mean(psnrs))})
-                print(f"validation psnr: {float(np.mean(psnrs)):.4f}")
+                val = {"psnr": float(np.mean(np.concatenate(psnrs))),
+                       "psnr_tea": float(np.mean(np.concatenate(psnrs_tea)))}
+                logger.log("validate", step, val)
+                print(f"validation psnr: {val['psnr']:.4f} "
+                      f"(teacher {val['psnr_tea']:.4f})")
         if step >= total_steps:
             break
         t0 = time.perf_counter()

@@ -66,29 +66,47 @@ def _loss_fn(params, batch, model_def: ModelDef, compute_dtype):
         "loss_tea": loss_tea,
         "loss_distill": loss_distill,
     }
-    return loss, (metrics, pred)
+    # Observability tensors for the 1000-step image panels (reference
+    # train.py:75-87 / Model.update info dict, model/RIFE.py:86-95).
+    # Device-resident until the host fetches them on a panel step.
+    vis = {
+        "pred": pred,
+        "gt": gt32,
+        "merged_tea": out["merged_teacher"].astype(jnp.float32),
+        "mask": out["mask_list"][-1].astype(jnp.float32),
+        "mask_tea": out["mask_list"][-1].astype(jnp.float32),
+        "flow": out["flow_list"][-1][..., :2].astype(jnp.float32),
+        "flow_tea": out["flow_teacher"].astype(jnp.float32),
+    }
+    return loss, (metrics, vis)
 
 
-def make_train_step(model_def: ModelDef, tx, mesh=None, compute_dtype=jnp.float32):
+def make_train_step(model_def: ModelDef, tx, mesh=None, compute_dtype=jnp.float32,
+                    with_vis: bool = False):
     """Build the jitted SPMD train step.  With a mesh, inputs/outputs are
-    explicitly annotated: state replicated, batch sharded on `data`."""
+    explicitly annotated: state replicated, batch sharded on `data`.
+    with_vis additionally returns the panel tensors (pred/gt/teacher/
+    mask/flow), batch-sharded — fetch them only on logging steps."""
 
     def step_fn(state: TrainState, batch):
         grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
-        (_, (metrics, _)), grads = grad_fn(state.params, batch, model_def, compute_dtype)
+        (_, (metrics, vis)), grads = grad_fn(state.params, batch, model_def, compute_dtype)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=new_params, opt_state=new_opt, step=state.step + 1)
+        if with_vis:
+            return new_state, metrics, vis
         return new_state, metrics
 
     if mesh is None:
         return jax.jit(step_fn)
     repl = replicated_sharding(mesh)
     data = batch_sharding(mesh)
+    out_shardings = (repl, repl, data) if with_vis else (repl, repl)
     return jax.jit(
         step_fn,
         in_shardings=(repl, data),
-        out_shardings=(repl, repl),
+        out_shardings=out_shardings,
     )
 
 

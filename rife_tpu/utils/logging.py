@@ -14,6 +14,7 @@ import time
 class MetricLogger:
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
+        self.log_dir = log_dir
         self.f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self.tb = None
         try:
@@ -31,6 +32,19 @@ class MetricLogger:
             for k, v in scalars.items():
                 if isinstance(v, (int, float)):
                     self.tb.add_scalar(f"{tag}/{k}", v, step)
+
+    def log_image(self, tag: str, step: int, img_u8) -> str:
+        """HWC uint8 image -> TB add_image (if available) + PNG on disk
+        (the reference's writer.add_image panels, train.py:75-87)."""
+        if self.tb is not None:
+            self.tb.add_image(tag, img_u8, step, dataformats="HWC")
+            self.tb.flush()
+        from rife_tpu.utils.viz import save_png
+
+        path = os.path.join(self.log_dir, "panels",
+                            f"step_{step:08d}", tag.replace("/", "_") + ".png")
+        save_png(path, img_u8)
+        return path
 
     def close(self):
         self.f.close()
