@@ -134,10 +134,15 @@ def batch_iterator(dataset, batch_size: int, *, seed: int = 1234, crop: int = 22
                 bg.append(np.ascontiguousarray(gt))
                 b1.append(np.ascontiguousarray(img1))
                 bt.append(t)
+            # Whole-batch u8 -> [0,1] through the native frameops library
+            # (threaded C++, numpy fallback) — the host-side cost on the
+            # training input path.
+            from rife_tpu.native import u8_to_f32
+
             yield {
-                "img0": np.stack(b0).astype(np.float32) / 255.0,
-                "img1": np.stack(b1).astype(np.float32) / 255.0,
-                "gt": np.stack(bg).astype(np.float32) / 255.0,
+                "img0": u8_to_f32(np.stack(b0)),
+                "img1": u8_to_f32(np.stack(b1)),
+                "gt": u8_to_f32(np.stack(bg)),
                 "timestep": np.asarray(bt, np.float32),
             }
         epoch += 1

@@ -39,15 +39,17 @@ class DiskInterpolator:
 
         path = os.path.join(self.workdir, f"f{self._counter:07d}.png")
         self._counter += 1
-        u8 = (np.clip(arr01, 0, 1) * 255 + 0.5).astype(np.uint8)
-        cv2.imwrite(path, u8[..., ::-1])
+        from rife_tpu.native import f32_to_u8
+
+        cv2.imwrite(path, f32_to_u8(arr01)[..., ::-1])
         return FrameRef(path, index, wave)
 
     def _load(self, ref: FrameRef) -> np.ndarray:
         import cv2
 
-        img = cv2.imread(ref.path)
-        return img[..., ::-1].astype(np.float32) / 255.0
+        from rife_tpu.native import u8_to_f32
+
+        return u8_to_f32(cv2.imread(ref.path)[..., ::-1])
 
     def interpolate(self, frames01: list[np.ndarray], target_count: int) -> list[np.ndarray]:
         """Densify `frames01` to >= target_count frames via midpoint waves,

@@ -71,6 +71,27 @@ def u8_to_f32_pad(frame_u8: np.ndarray, pad_h: int, pad_w: int) -> np.ndarray:
     return out
 
 
+def u8_to_f32(frames_u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [0,1], any leading dims over HWC.
+
+    Batched arrays fold their leading dims into rows (contiguous layout),
+    so a whole (N, H, W, C) training batch is one threaded native call.
+    """
+    shape = frames_u8.shape
+    flat = np.ascontiguousarray(frames_u8).reshape(-1, shape[-2], shape[-1])
+    out = u8_to_f32_pad(flat, flat.shape[0], flat.shape[1])
+    return out.reshape(shape)
+
+
+def f32_to_u8(frames_f32: np.ndarray) -> np.ndarray:
+    """float32 [0,1] -> clamped+rounded uint8, any leading dims over HWC."""
+    shape = frames_f32.shape
+    flat = np.ascontiguousarray(frames_f32, dtype=np.float32).reshape(
+        -1, shape[-2], shape[-1])
+    out = f32_to_u8_crop(flat, flat.shape[0], flat.shape[1])
+    return out.reshape(shape)
+
+
 def f32_to_u8_crop(frame_f32: np.ndarray, dst_h: int, dst_w: int) -> np.ndarray:
     """float32 HWC [0,1] -> clamped+rounded uint8 crop from the origin."""
     src_h, src_w, c = frame_f32.shape

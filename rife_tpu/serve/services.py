@@ -49,15 +49,20 @@ FFMPEG_QUALITY = [
 
 
 def _encode_frames(frames01: list[np.ndarray], out_path: str, fps: float):
-    """PNG dump + ffmpeg libx264/CRF18/BT.709, cv2 fallback."""
+    """PNG dump + ffmpeg libx264/CRF18/BT.709, cv2 fallback.
+
+    The [0,1]->u8 rounding runs through the native frameops library
+    (threaded C++; numpy fallback) — the only remaining host-side pixel
+    math on the serve path."""
     import cv2
+
+    from rife_tpu.native import f32_to_u8
 
     h, w = frames01[0].shape[:2]
     if have_ffmpeg():
         with tempfile.TemporaryDirectory() as td:
             for i, f in enumerate(frames01):
-                u8 = (np.clip(f, 0, 1) * 255 + 0.5).astype(np.uint8)
-                cv2.imwrite(os.path.join(td, f"{i:07d}.png"), u8[..., ::-1])
+                cv2.imwrite(os.path.join(td, f"{i:07d}.png"), f32_to_u8(f)[..., ::-1])
             cmd = ["ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
                    "-framerate", str(fps), "-i", os.path.join(td, "%07d.png"),
                    *FFMPEG_QUALITY, out_path]
@@ -65,8 +70,7 @@ def _encode_frames(frames01: list[np.ndarray], out_path: str, fps: float):
         return
     writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
     for f in frames01:
-        u8 = (np.clip(f, 0, 1) * 255 + 0.5).astype(np.uint8)
-        writer.write(u8[..., ::-1])
+        writer.write(f32_to_u8(f)[..., ::-1])
     writer.release()
 
 
@@ -105,30 +109,84 @@ def interpolate_video_file(engine: InferenceEngine, in_path: str, out_path: str,
     return stats
 
 
+def _transition_frames(engine: InferenceEngine, before: str, after: str,
+                       passes: int) -> list[np.ndarray]:
+    """Interpolated frames bridging `before`'s last and `after`'s first."""
+    last = extract_boundary_frame(before, "last")
+    first = extract_boundary_frame(after, "first")
+    a, pad = pad_centered(jnp.asarray(last[None]), 32, 512)
+    b, _ = pad_centered(jnp.asarray(first[None]), 32, 512)
+    mids = exp_doubling(engine, [a, b], passes)[1:-1]
+    return [np.asarray(pad.crop(m)[0], np.float32) for m in mids]
+
+
 def chained_transitions(engine: InferenceEngine, videos: list[str], out_path: str, *,
                         transition_passes: int = 4, fps: float | None = None) -> dict:
     """Concatenate videos with interpolated transitions between boundary
-    frames (services/chained.py).  Output fps follows the first video."""
-    import cv2
+    frames (services/chained.py:19-339).  Output fps follows the first
+    video unless given.
 
+    With ffmpeg present this mirrors the reference's segment pipeline
+    (chained.py:227-313): inputs whose fps differs from the target are
+    re-encoded to it, matching inputs are used untouched, transitions
+    are written as their own segments, and the result is stitched with
+    the concat demuxer + `-c copy` (no decode of the sources, O(1)
+    memory) — falling back to a re-encode concat if stream copy fails
+    (e.g. heterogeneous source codecs).  Without ffmpeg: in-RAM cv2
+    decode + re-encode.
+    """
     assert len(videos) >= 2
-    info = get_video_info(videos[0])
-    fps = fps or info["fps"]
+    fps = fps or get_video_info(videos[0])["fps"]
 
-    all_frames: list[np.ndarray] = []
-    for vi, path in enumerate(videos):
-        reader = VideoReader(path)
-        for frame in reader:
-            all_frames.append(frame)
-        if vi < len(videos) - 1:
-            last = extract_boundary_frame(path, "last")
-            first = extract_boundary_frame(videos[vi + 1], "first")
-            a, pad = pad_centered(jnp.asarray(last[None]), 32, 512)
-            b, _ = pad_centered(jnp.asarray(first[None]), 32, 512)
-            mids = exp_doubling(engine, [a, b], transition_passes)[1:-1]
-            all_frames.extend(np.asarray(pad.crop(m)[0], np.float32) for m in mids)
-    _encode_frames(all_frames, out_path, fps)
-    return {"videos": len(videos), "frames": len(all_frames), "output": out_path}
+    if not have_ffmpeg():
+        all_frames: list[np.ndarray] = []
+        for vi, path in enumerate(videos):
+            all_frames.extend(VideoReader(path))
+            if vi < len(videos) - 1:
+                all_frames.extend(
+                    _transition_frames(engine, path, videos[vi + 1], transition_passes))
+        _encode_frames(all_frames, out_path, fps)
+        return {"videos": len(videos), "frames": len(all_frames),
+                "output": out_path, "mode": "cv2"}
+
+    normalized = 0
+    with tempfile.TemporaryDirectory(prefix="rife_chain_") as td:
+        segments: list[str] = []
+        for vi, path in enumerate(videos):
+            if abs(get_video_info(path)["fps"] - fps) > 0.01:
+                seg = os.path.join(td, f"seg{vi}.mp4")
+                subprocess.run(
+                    ["ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
+                     "-i", path, "-r", str(fps), *FFMPEG_QUALITY, "-an", seg],
+                    check=True)
+                segments.append(seg)
+                normalized += 1
+            else:
+                segments.append(os.path.abspath(path))
+            if vi < len(videos) - 1:
+                trans = os.path.join(td, f"trans{vi}.mp4")
+                _encode_frames(
+                    _transition_frames(engine, path, videos[vi + 1], transition_passes),
+                    trans, fps)
+                segments.append(trans)
+
+        concat_list = os.path.join(td, "concat.txt")
+        with open(concat_list, "w") as f:
+            for seg in segments:
+                f.write(f"file '{seg}'\n")
+        copy_cmd = ["ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
+                    "-f", "concat", "-safe", "0", "-i", concat_list,
+                    "-c", "copy", "-an", out_path]
+        mode = "concat_copy"
+        if subprocess.run(copy_cmd).returncode != 0:
+            subprocess.run(
+                ["ffmpeg", "-y", "-hide_banner", "-loglevel", "error",
+                 "-f", "concat", "-safe", "0", "-i", concat_list,
+                 *FFMPEG_QUALITY, "-an", out_path],
+                check=True)
+            mode = "concat_reencode"
+    return {"videos": len(videos), "segments": len(segments),
+            "fps_normalized": normalized, "output": out_path, "mode": mode}
 
 
 def reencode_video(in_path: str, out_path: str) -> dict:

@@ -47,7 +47,9 @@ class VideoReader:
             if self.dtype == "uint8":
                 yield rgb
             else:
-                yield rgb.astype(np.float32) / 255.0
+                from rife_tpu.native import u8_to_f32
+
+                yield u8_to_f32(rgb)
         self.cap.release()
 
 
@@ -68,9 +70,11 @@ class PngDirReader:
         self.height, self.width = probe.shape[:2]
 
     def __iter__(self):
+        from rife_tpu.native import u8_to_f32
+
         for f in self.files:
             img = cv2.imread(os.path.join(self.path, f))
-            yield img[..., ::-1].astype(np.float32) / 255.0
+            yield u8_to_f32(img[..., ::-1])
 
 
 class VideoWriter:

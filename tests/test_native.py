@@ -26,3 +26,18 @@ def test_native_lib_builds():
     # environments without a toolchain still pass via the numpy fallback.
     assert native.u8_to_f32_pad(np.zeros((8, 8, 3), np.uint8), 8, 8).sum() == 0
     print("native:", native.have_native())
+
+
+def test_batched_wrappers_match_numpy(rng):
+    from rife_tpu.native import f32_to_u8, u8_to_f32
+
+    u8 = (rng.random((3, 17, 23, 3)) * 255).astype(np.uint8)
+    f = u8_to_f32(u8)
+    assert f.dtype == np.float32 and f.shape == u8.shape
+    np.testing.assert_allclose(f, u8.astype(np.float32) / 255.0, atol=1e-7)
+
+    f32 = rng.random((2, 9, 11, 3)).astype(np.float32) * 1.2 - 0.1
+    back = f32_to_u8(f32)
+    expect = (np.clip(f32, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    assert back.dtype == np.uint8
+    np.testing.assert_array_equal(back, expect)

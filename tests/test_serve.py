@@ -192,3 +192,61 @@ def test_http_api_basic_auth(engine, tmp_path):
                    "Basic " + base64.b64encode(b"admin:secret").decode())
     with urllib.request.urlopen(req) as r:
         assert json.load(r)["status"] == "ok"
+
+
+def _make_clip(path, n_frames, fps, seed=0, h=48, w=64):
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    base = (rng.random((h, w + 4 * n_frames, 3)) * 255).astype(np.uint8)
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    for i in range(n_frames):
+        wr.write(base[:, i * 4 : i * 4 + w])
+    wr.release()
+    return path
+
+
+def test_chained_transitions_cv2_fallback(engine, tmp_path):
+    """Two different-fps clips -> chained output (cv2 path: in-RAM)."""
+    a = _make_clip(str(tmp_path / "a.mp4"), 3, 10, seed=1)
+    b = _make_clip(str(tmp_path / "b.mp4"), 3, 25, seed=2)
+    out = str(tmp_path / "chain.mp4")
+    r = services.chained_transitions(engine, [a, b], out, transition_passes=1)
+    assert r["mode"] == "cv2"
+    # 3 + 3 source frames + (2^1 - 1) transition frames
+    assert r["frames"] == 7
+    from rife_tpu.video import VideoReader
+
+    assert len(list(VideoReader(out))) == 7
+
+
+def test_chained_transitions_ffmpeg_plan(engine, tmp_path, monkeypatch):
+    """ffmpeg segment pipeline (reference chained.py:227-313): only the
+    fps-mismatched input is re-encoded, concat runs with -c copy."""
+    a = _make_clip(str(tmp_path / "a.mp4"), 3, 10, seed=1)
+    b = _make_clip(str(tmp_path / "b.mp4"), 3, 25, seed=2)
+    out = str(tmp_path / "chain.mp4")
+
+    calls = []
+
+    class _R:
+        returncode = 0
+
+    def fake_run(cmd, check=False, **kw):
+        calls.append([str(c) for c in cmd])
+        with open(str(cmd[-1]), "wb") as f:
+            f.write(b"x")
+        return _R()
+
+    monkeypatch.setattr(services, "have_ffmpeg", lambda: True)
+    monkeypatch.setattr(services.subprocess, "run", fake_run)
+    r = services.chained_transitions(engine, [a, b], out, transition_passes=1)
+    assert r["mode"] == "concat_copy"
+    assert r["fps_normalized"] == 1          # only b differs from 10 fps
+    assert r["segments"] == 3                # a (untouched), transition, b
+    norm = [c for c in calls if "-r" in c]
+    assert len(norm) == 1 and "10.0" in norm[0][norm[0].index("-r") + 1]
+    concat = [c for c in calls if "concat" in c]
+    assert len(concat) == 1 and "copy" in concat[0]
+    # the untouched input is referenced by its original path in the list
+    assert any("a.mp4" not in " ".join(c) for c in norm)
