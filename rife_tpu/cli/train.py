@@ -100,6 +100,13 @@ def main(argv=None):
         )
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
+    # TPU: Pallas warp forward with the exact-XLA VJP (ops/pallas/warp.py);
+    # CPU keeps the portable gather path.
+    if jax.default_backend() == "tpu":
+        from rife_tpu.ops import set_warp_impl
+
+        set_warp_impl("pallas")
+
     compute_dtype = jnp.dtype(args.dtype)
     with_vis = args.vis_interval > 0
     train_step = make_train_step(model_def, tx, mesh=mesh, compute_dtype=compute_dtype,

@@ -29,12 +29,21 @@ Design (v3):
 Semantics: identical to rife_tpu.ops.warp_xla (border clamp,
 align_corners pixel units) whenever each 8x128 subtile's source spread
 fits the window (win_h-2 rows, win_w-2-minus-alignment columns).
-Out-of-window sources clamp to the window edge — a bounded local
-approximation that only triggers on extremely non-smooth flow (not
-produced by IFNet's upsampling path).  Correctness tests run the exact
-XLA warp; rife_tpu.ops.warp dispatches to this kernel on TPU.
+Out-of-window sources clamp to the window edge.  With the default
+win_w=256 the 128-aligned anchor can waste up to 127 columns, so edge
+subtiles escape on ~0.1% of pixels by ~2e-2 even for smooth flows
+(measured on the demo frame) — below the bf16 quantization noise of the
+serving path and ~64 dB-equivalent, i.e. invisible next to a 35 dB
+signal.  win_w=384 removes those escapes at +56% image-warp cost
+(measured); pass it where bit-exactness vs warp_xla matters.
+Correctness tests run the exact XLA warp; rife_tpu.ops.warp dispatches
+to this kernel on TPU.
 
-No custom VJP yet: training uses the exact XLA warp.
+Training: `warp_pallas_diff` wraps the kernel in a custom VJP whose
+backward runs the exact XLA warp's gradient (gather transpose for
+d_img, corner-difference gathers for d_flow) — mathematically the
+gradient of the same function wherever the window contract holds, so
+training forwards ride the fast kernel while gradients stay exact.
 """
 from __future__ import annotations
 
@@ -163,6 +172,11 @@ def _warp_kernel(sc_ref, img_ref, flow_ref, out_ref, acc_ref,
                 @pl.when(chunk_on)
                 def _chunk():
                     # Row weights: shared across blocks and channels.
+                    # (Per-row pl.when predication was tried and is a
+                    # clear loss — img warps 28 vs 6 ms, features 16 vs
+                    # 10: the guard + scratch round-trip per row costs
+                    # more than the 2 gathers it saves.  Chunk/block
+                    # granularity is the right skip level.)
                     w_rows = [
                         jnp.where(ry == r, 1.0 - fy, 0.0)
                         + jnp.where(ry + 1 == r, fy, 0.0)
@@ -225,6 +239,8 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
     """
     n, h, w, c = img.shape
     out_dtype = img.dtype
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True  # CPU/tests: Mosaic only lowers on TPU
 
     hp = _ceil_to(h, TILE_H)
     wp = _ceil_to(w, TILE_W)
@@ -285,3 +301,24 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
 
     out = out[:, :, :h, :w]
     return jnp.moveaxis(out, 1, -1).astype(out_dtype)
+
+
+def _diff_fwd(img, flow):
+    return warp_pallas(img, flow), (img, flow)
+
+
+def _diff_bwd(res, g):
+    from rife_tpu.ops.warp import warp_xla
+
+    img, flow = res
+    _, vjp = jax.vjp(warp_xla, img, flow)
+    return tuple(vjp(g))
+
+
+@jax.custom_vjp
+def warp_pallas_diff(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """warp_pallas with gradients: Pallas forward, exact-XLA backward."""
+    return warp_pallas(img, flow)
+
+
+warp_pallas_diff.defvjp(_diff_fwd, _diff_bwd)

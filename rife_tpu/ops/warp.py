@@ -48,9 +48,11 @@ def use_warp_impl(impl: str):
 
 def warp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     if _WARP_IMPL.get() == "pallas":
-        from rife_tpu.ops.pallas.warp import warp_pallas
+        # Differentiable wrapper: Pallas forward, exact-XLA gradient —
+        # inference traces only the primal; training gets a VJP.
+        from rife_tpu.ops.pallas.warp import warp_pallas_diff
 
-        return warp_pallas(img, flow)
+        return warp_pallas_diff(img, flow)
     return warp_xla(img, flow)
 
 

@@ -1,4 +1,6 @@
 """Image-panel observability tests (reference train.py:29-37,75-87)."""
+import os
+
 import numpy as np
 
 from rife_tpu.utils.logging import MetricLogger
@@ -86,3 +88,18 @@ def test_train_step_with_vis():
     assert vis["flow"].shape == (8, 32, 32, 2)
     panels = build_panels(jax.device_get(vis), n=2)
     assert panels["0/img"].shape == (32, 96, 3)
+
+
+def test_train_cli_smoke_with_panels(tmp_path):
+    """End-to-end training CLI: synthetic data, panels + val + checkpoint."""
+    import glob
+
+    from rife_tpu.cli.train import main
+
+    log_dir = str(tmp_path / "log")
+    main(["--synthetic", "--steps", "2", "--batch_size", "8", "--crop", "32",
+          "--log_dir", log_dir, "--vis_interval", "2", "--val_batches", "1"])
+    # panel PNGs dumped at steps 1 and 2 (vis_interval=2 plus step==1)
+    pngs = glob.glob(os.path.join(log_dir, "panels", "*", "*.png"))
+    assert len(pngs) >= 6
+    assert os.path.exists(os.path.join(log_dir, "metrics.jsonl"))
