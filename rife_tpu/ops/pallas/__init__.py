@@ -1,3 +1,3 @@
-from rife_tpu.ops.pallas.warp import warp_pallas
+from rife_tpu.ops.pallas.warp import warp_pallas, warp_pallas_auto, warp_pallas_diff
 
-__all__ = ["warp_pallas"]
+__all__ = ["warp_pallas", "warp_pallas_auto", "warp_pallas_diff"]

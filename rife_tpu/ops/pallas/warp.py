@@ -303,8 +303,19 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
     return jnp.moveaxis(out, 1, -1).astype(out_dtype)
 
 
+def warp_pallas_auto(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Channel-count dispatch: feature maps (C >= 8) take the v4
+    merged-row kernel (measured 16-20% faster there); small-channel
+    image warps keep v3 (v4's merge overhead loses at cb <= 4)."""
+    if img.shape[-1] >= 8:
+        from rife_tpu.ops.pallas.warp_v4 import warp_pallas_v4
+
+        return warp_pallas_v4(img, flow)
+    return warp_pallas(img, flow)
+
+
 def _diff_fwd(img, flow):
-    return warp_pallas(img, flow), (img, flow)
+    return warp_pallas_auto(img, flow), (img, flow)
 
 
 def _diff_bwd(res, g):
@@ -317,8 +328,9 @@ def _diff_bwd(res, g):
 
 @jax.custom_vjp
 def warp_pallas_diff(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """warp_pallas with gradients: Pallas forward, exact-XLA backward."""
-    return warp_pallas(img, flow)
+    """Auto-dispatched Pallas warp with gradients: Pallas forward,
+    exact-XLA backward."""
+    return warp_pallas_auto(img, flow)
 
 
 warp_pallas_diff.defvjp(_diff_fwd, _diff_bwd)

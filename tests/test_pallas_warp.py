@@ -112,3 +112,31 @@ def test_pallas_warp_alignment_escape_contract(rng):
     # the per-pixel error is O(local variation), but it must stay rare
     assert (d > 1e-5).mean() < 0.01
     assert d.mean() < 1e-3
+
+
+@pytest.mark.parametrize("n,h,w,c,cell,mag", [
+    (1, 32, 128, 3, 32, 4.0),     # 17-row span: needs the 3rd merged piece
+    (2, 64, 256, 3, 64, 4.0),
+    (1, 64, 384, 16, 64, 6.0),
+    (1, 40, 100, 2, 32, 3.0),
+])
+def test_warp_v4_matches_xla(rng, n, h, w, c, cell, mag):
+    from rife_tpu.ops.pallas.warp_v4 import warp_pallas_v4
+
+    img = jnp.asarray(rng.random((n, h, w, c), dtype=np.float32))
+    flow = smooth_flow(rng, n, h, w, cell, mag)
+    ref = warp_xla(img, flow)
+    got = warp_pallas_v4(img, flow, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_warp_auto_dispatch(rng):
+    """c>=8 routes to v4, small c to v3; both exact on smooth flow."""
+    from rife_tpu.ops.pallas.warp import warp_pallas_auto
+
+    for c in (3, 16):
+        img = jnp.asarray(rng.random((1, 32, 256, c), dtype=np.float32))
+        flow = smooth_flow(rng, 1, 32, 256, 32, 2.0)
+        ref = warp_xla(img, flow)
+        got = warp_pallas_auto(img, flow)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
