@@ -56,6 +56,10 @@ def main(argv=None):
                     help="validation cadence in epochs (ref train.py:92)")
     ap.add_argument("--val_batches", type=int, default=None,
                     help="cap validation batches (default: full 5%% split)")
+    ap.add_argument("--warp_impl", type=str, default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="auto=xla (faster at 224^2 crops, measured); "
+                         "pallas for large-resolution fine-tuning")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -100,12 +104,15 @@ def main(argv=None):
         )
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    # TPU: Pallas warp forward with the exact-XLA VJP (ops/pallas/warp.py);
-    # CPU keeps the portable gather path.
-    if jax.default_backend() == "tpu":
+    # Warp impl: measured 459 vs 415 ms/step at the reference config
+    # (batch 16, 224^2 crops) — the Pallas forward LOSES at training
+    # crop sizes (per-call scalar/pad overhead beats the gather win), so
+    # training defaults to the exact XLA warp.  --warp_impl pallas flips
+    # to the Pallas-forward/exact-XLA-VJP path for large-res fine-tunes.
+    if args.warp_impl != "auto":
         from rife_tpu.ops import set_warp_impl
 
-        set_warp_impl("pallas")
+        set_warp_impl(args.warp_impl)
 
     compute_dtype = jnp.dtype(args.dtype)
     with_vis = args.vis_interval > 0

@@ -105,15 +105,16 @@ def _tile_scalars(flow, H, W, HP, WP, win_h, win_w):
 
 
 def _warp_kernel(sc_ref, img_ref, flow_ref, out_ref, acc_ref,
-                 *, H, W, win_h, win_w, cb, cg, nsh, nsw, skip=True):
+                 *, H, W, win_h, win_w, cb, cg, nsh, nsw, tile_h=TILE_H,
+                 skip=True):
     g0 = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     n = g0 // cg
 
-    for s_i in range(TILE_H // SUB_H):
+    for s_i in range(tile_h // SUB_H):
         for s_j in range(TILE_W // SUB_W):
-            si = ti * (TILE_H // SUB_H) + s_i
+            si = ti * (tile_h // SUB_H) + s_i
             sj = tj * (TILE_W // SUB_W) + s_j
             flat = (n * nsh + si) * nsw + sj
             wy = pl.multiple_of(sc_ref[0, flat], SUB_H)
@@ -209,7 +210,7 @@ def _warp_kernel(sc_ref, img_ref, flow_ref, out_ref, acc_ref,
                                 acc_ref[c] = acc
 
             for c in range(cb):
-                out_ref[(0, c) + osl] = acc_ref[c]
+                out_ref[(0, c) + osl] = acc_ref[c].astype(out_ref.dtype)
 
 
 def _ceil_to(v, m):
@@ -223,10 +224,11 @@ def _ceil_to(v, m):
 _VMEM_IMG_BUDGET = int(5.6 * 1024 * 1024)
 
 
-@functools.partial(jax.jit, static_argnames=("win_h", "win_w", "interpret", "skip"))
+@functools.partial(jax.jit, static_argnames=(
+    "win_h", "win_w", "interpret", "skip", "tile_h"))
 def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
                 win_w: int = 256, interpret: bool = False,
-                skip: bool | None = None) -> jnp.ndarray:
+                skip: bool | None = None, tile_h: int = TILE_H) -> jnp.ndarray:
     """Backward bilinear warp, Pallas fast path.
 
     img: (N, H, W, C); flow: (N, H, W, 2).  Returns (N, H, W, C) in
@@ -242,7 +244,7 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
     if not interpret and jax.default_backend() != "tpu":
         interpret = True  # CPU/tests: Mosaic only lowers on TPU
 
-    hp = _ceil_to(h, TILE_H)
+    hp = _ceil_to(h, tile_h)
     wp = _ceil_to(w, TILE_W)
     win_h = min(win_h, hp)
     win_w = min(win_w, wp)
@@ -252,7 +254,12 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
     # needs f32 vregs but VMEM residency is what bounds cb.
     plane_dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     plane_bytes = hp * wp * jnp.dtype(plane_dt).itemsize
-    cb = max(1, min(c, _VMEM_IMG_BUDGET // plane_bytes))
+    # Budget counts the full input plane AND the per-channel output tile
+    # (f32 accumulator block) — for small padded planes the out tile is
+    # the same size as the plane and ignoring it OOMs VMEM (seen at
+    # training crop sizes with c=128 features).
+    per_cb = plane_bytes + tile_h * TILE_W * 4
+    cb = max(1, min(c, _VMEM_IMG_BUDGET // per_cb))
     while c % cb:
         cb -= 1
     cg = c // cb
@@ -270,10 +277,10 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
     scalars = _tile_scalars(
         jnp.moveaxis(flow_pl, 1, -1), h, w, hp, wp, win_h, win_w)
 
-    grid = (n * cg, hp // TILE_H, wp // TILE_W)
+    grid = (n * cg, hp // tile_h, wp // TILE_W)
     kernel = functools.partial(_warp_kernel, H=h, W=w, win_h=win_h, win_w=win_w,
                                cb=cb, cg=cg, nsh=hp // SUB_H, nsw=wp // SUB_W,
-                               skip=skip)
+                               tile_h=tile_h, skip=skip)
 
     out = pl.pallas_call(
         kernel,
@@ -284,18 +291,20 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
                 pl.BlockSpec((1, cb, hp, wp),
                              lambda g, i, j, *_, cg=cg: (g // cg, g % cg, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, TILE_H, TILE_W),
+                pl.BlockSpec((1, 2, tile_h, TILE_W),
                              lambda g, i, j, *_, cg=cg: (g // cg, 0, i, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, cb, TILE_H, TILE_W),
+                (1, cb, tile_h, TILE_W),
                 lambda g, i, j, *_, cg=cg: (g // cg, g % cg, i, j),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((cb, SUB_H, SUB_W), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
+        # accumulate f32, store in the plane dtype (halves the output
+        # write traffic on the bf16 serving path)
+        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), plane_dt),
         interpret=interpret,
     )(scalars, planes, flow_pl)
 

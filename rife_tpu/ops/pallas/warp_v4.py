@@ -67,7 +67,8 @@ def _tile_scalars_v4(flow, H, W, HP, WP, win_w):
 
 
 def _warp_kernel_v4(sc_ref, img_ref, flow_ref, out_ref, acc_ref,
-                    *, H, W, HP, WP, win_w, cb, cg, nsh, nsw, skip=True):
+                    *, H, W, HP, WP, win_w, cb, cg, nsh, nsw, tile_h=TILE_H,
+                    skip=True):
     g0 = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -76,9 +77,9 @@ def _warp_kernel_v4(sc_ref, img_ref, flow_ref, out_ref, acc_ref,
     iota_s = lax.broadcasted_iota(jnp.int32, (SUB_H, SUB_W), 0)
     n_blk = win_w // SUB_W
 
-    for s_i in range(TILE_H // SUB_H):
+    for s_i in range(tile_h // SUB_H):
         for s_j in range(TILE_W // SUB_W):
-            si = ti * (TILE_H // SUB_H) + s_i
+            si = ti * (tile_h // SUB_H) + s_i
             sj = tj * (TILE_W // SUB_W) + s_j
             flat = (n * nsh + si) * nsw + sj
             ystart = sc_ref[0, flat]
@@ -174,13 +175,13 @@ def _warp_kernel_v4(sc_ref, img_ref, flow_ref, out_ref, acc_ref,
                 piece(2)
 
             for c in range(cb):
-                out_ref[(0, c) + osl] = acc_ref[c]
+                out_ref[(0, c) + osl] = acc_ref[c].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("win_w", "interpret", "skip"))
+@functools.partial(jax.jit, static_argnames=("win_w", "interpret", "skip", "tile_h"))
 def warp_pallas_v4(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
                    interpret: bool = False,
-                   skip: bool | None = None) -> jnp.ndarray:
+                   skip: bool | None = None, tile_h: int = TILE_H) -> jnp.ndarray:
     """Backward bilinear warp, v4 merged-row kernel.
 
     img: (N, H, W, C); flow: (N, H, W, 2) pixel units.  Exact vs
@@ -193,13 +194,18 @@ def warp_pallas_v4(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
-    hp = _ceil_to(h, TILE_H)
+    hp = _ceil_to(h, tile_h)
     wp = _ceil_to(w, TILE_W)
     win_w = min(win_w, wp)
 
     plane_dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     plane_bytes = hp * wp * jnp.dtype(plane_dt).itemsize
-    cb = max(1, min(c, _VMEM_IMG_BUDGET // plane_bytes))
+    # Budget counts the full input plane AND the per-channel output tile
+    # (f32 accumulator block) — for small padded planes the out tile is
+    # the same size as the plane and ignoring it OOMs VMEM (seen at
+    # training crop sizes with c=128 features).
+    per_cb = plane_bytes + tile_h * TILE_W * 4
+    cb = max(1, min(c, _VMEM_IMG_BUDGET // per_cb))
     while c % cb:
         cb -= 1
     cg = c // cb
@@ -215,9 +221,9 @@ def warp_pallas_v4(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
     scalars = _tile_scalars_v4(
         jnp.moveaxis(flow_pl, 1, -1), h, w, hp, wp, win_w)
 
-    grid = (n * cg, hp // TILE_H, wp // TILE_W)
+    grid = (n * cg, hp // tile_h, wp // TILE_W)
     kernel = functools.partial(_warp_kernel_v4, H=h, W=w, HP=hp, WP=wp,
-                               win_w=win_w, cb=cb, cg=cg,
+                               win_w=win_w, cb=cb, cg=cg, tile_h=tile_h,
                                nsh=hp // SUB_H, nsw=wp // SUB_W, skip=skip)
 
     out = pl.pallas_call(
@@ -229,18 +235,18 @@ def warp_pallas_v4(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
                 pl.BlockSpec((1, cb, hp, wp),
                              lambda g, i, j, *_, cg=cg: (g // cg, g % cg, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, TILE_H, TILE_W),
+                pl.BlockSpec((1, 2, tile_h, TILE_W),
                              lambda g, i, j, *_, cg=cg: (g // cg, 0, i, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, cb, TILE_H, TILE_W),
+                (1, cb, tile_h, TILE_W),
                 lambda g, i, j, *_, cg=cg: (g // cg, g % cg, i, j),
                 memory_space=pltpu.VMEM,
             ),
             scratch_shapes=[pltpu.VMEM((cb, SUB_H, SUB_W), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), plane_dt),
         interpret=interpret,
     )(scalars, planes, flow_pl)
 

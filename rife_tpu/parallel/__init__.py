@@ -1,5 +1,6 @@
 from rife_tpu.parallel.mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
 from rife_tpu.parallel.distributed import initialize_distributed, process_info
+from rife_tpu.parallel.spatial import interpolate_batch_sharded, interpolate_spatial
 
 __all__ = [
     "make_mesh",
@@ -8,4 +9,6 @@ __all__ = [
     "shard_batch",
     "initialize_distributed",
     "process_info",
+    "interpolate_batch_sharded",
+    "interpolate_spatial",
 ]

@@ -1,0 +1,61 @@
+"""Multi-chip inference sharding on the 8-device virtual CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rife_tpu.engine import InferenceEngine
+from rife_tpu.parallel import (
+    interpolate_batch_sharded,
+    interpolate_spatial,
+    make_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine("rife", seed=0)
+
+
+def _smooth_pair(rng, n, h, w):
+    base = rng.random((n, h + 8, w + 8, 3)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)
+                + np.roll(base, -1, 1) + np.roll(base, -1, 2)) / 5
+    return jnp.asarray(base[:, :h, :w]), jnp.asarray(base[:, 4:h + 4, 4:w + 4])
+
+
+def test_batch_sharded_matches_single_device(engine, rng):
+    mesh = make_mesh(("data",))
+    img0, img1 = _smooth_pair(rng, 8, 64, 96)
+    ref = np.asarray(engine.interpolate_batch(img0, img1))
+    out = np.asarray(interpolate_batch_sharded(engine, mesh, img0, img1))
+    # exact DP up to reduction-order ulps
+    np.testing.assert_allclose(out, ref, atol=5e-6)
+
+
+def test_batch_sharded_output_sharding(engine, rng):
+    mesh = make_mesh(("data",))
+    img0, img1 = _smooth_pair(rng, 8, 64, 96)
+    out = interpolate_batch_sharded(engine, mesh, img0, img1)
+    assert len(out.sharding.device_set) == 8
+
+
+def test_spatial_sharded_seam_contract(engine, rng):
+    """Overlap-slab 4K-mode: interior matches the single-device run;
+    seam/edge tails stay small on smooth content."""
+    mesh = make_mesh(("data",))
+    # H = 8 devices x 64 rows, margin 32
+    img0, img1 = _smooth_pair(rng, 1, 512, 96)
+    ref = np.asarray(engine.interpolate(img0, img1))
+    out = np.asarray(interpolate_spatial(engine, mesh, img0, img1, margin=32))
+    assert out.shape == ref.shape
+    d = np.abs(out - ref)
+    # Interior (away from the global top/bottom, where zero-halos stand
+    # in for the true frame boundary): seams bounded on smooth content.
+    interior = d[:, 64:-64]
+    assert interior.mean() < 2e-3, interior.mean()
+    assert np.quantile(interior, 0.99) < 0.05, np.quantile(interior, 0.99)
+    # The documented edge effect exists but is confined to the tails.
+    assert d[:, 96:-96].mean() <= d.mean()

@@ -3,7 +3,6 @@ import os, sys, time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/rife_tpu_jit_cache")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])  # env alone is ignored by this jax build
 from rife_tpu.ops import use_warp_impl
 from rife_tpu.models.ifnet import ifnet_apply
 from rife_tpu.models.registry import MODEL_REGISTRY
