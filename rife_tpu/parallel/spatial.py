@@ -33,7 +33,12 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+try:  # moved out of experimental in jax 0.8 (check_rep -> check_vma)
+    from jax import shard_map
+    _SHARD_MAP_KW = {"check_vma": False}
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _SHARD_MAP_KW = {"check_rep": False}
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rife_tpu.parallel.mesh import replicated_sharding
@@ -113,7 +118,7 @@ def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
             per_slab, mesh=mesh,
             in_specs=(P(), P(None, axis), P(None, axis), P()),
             out_specs=P(None, axis),
-            check_rep=False,
+            **_SHARD_MAP_KW,
         ))
         engine._cache[key] = fn
 
