@@ -22,12 +22,13 @@ from rife_tpu.utils import read_image, write_image
 
 
 def build_engine(model_path: str | None, model: str | None, scale: float = 1.0,
-                 dtype: str = "float32") -> InferenceEngine:
+                 dtype: str = "float32", fast: bool = False) -> InferenceEngine:
     if model_path and os.path.exists(model_path):
         name, params = load_checkpoint(model_path, model)
     else:
         name, params = (model or "rife"), None
-    return InferenceEngine(name, params, compute_dtype=jnp.dtype(dtype), scale=scale)
+    return InferenceEngine(name, params, compute_dtype=jnp.dtype(dtype),
+                           scale=scale, fast=fast)
 
 
 def main(argv=None):

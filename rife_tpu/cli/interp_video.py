@@ -50,6 +50,9 @@ def main(argv=None):
     ap.add_argument("--model", type=str, default=None, choices=sorted(MODEL_REGISTRY))
     ap.add_argument("--modelDir", type=str, default="train_log")
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--fast", action="store_true",
+                    help="half-res level-0 warps (~6%% faster, not exact; "
+                         "models/ifnet.py fast_level0)")
     args = ap.parse_args(argv)
 
     assert args.video is not None or args.img is not None, "need --video or --img"
@@ -69,7 +72,7 @@ def main(argv=None):
                 ckpt = p
                 break
     engine = build_engine(ckpt if os.path.isfile(ckpt) else None, args.model,
-                          args.scale, args.dtype)
+                          args.scale, args.dtype, fast=args.fast)
 
     if args.video:
         try:

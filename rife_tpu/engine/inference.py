@@ -30,9 +30,17 @@ from rife_tpu.models.registry import MODEL_REGISTRY, ModelDef
 class InferenceEngine:
     def __init__(self, model: str = "rife", params=None, *,
                  compute_dtype=jnp.float32, scale: float = 1.0, seed: int = 0,
-                 warp_impl: str | None = None):
+                 warp_impl: str | None = None, fast: bool = False):
         self.model_def: ModelDef = MODEL_REGISTRY[model]
         self.model_name = model
+        if fast and hasattr(self.model_def.config, "fast_level0"):
+            # opt-in serving approximation (models/ifnet.py fast_level0)
+            import dataclasses
+
+            self.model_def = dataclasses.replace(
+                self.model_def,
+                config=dataclasses.replace(self.model_def.config,
+                                           fast_level0=True))
         if params is None:
             params = self.model_def.init(jax.random.PRNGKey(seed), self.model_def.config)
         self.params = params

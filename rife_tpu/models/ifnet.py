@@ -45,6 +45,12 @@ class IFNetConfig:
     block_channels: tuple = (240, 150, 90)
     teacher_channels: int = 90
     refine: bool = True  # contextnet+unet residual stage
+    # Fast serving mode (inference only, NOT exact): level-0's warps are
+    # evaluated at the half resolution block1 actually consumes instead
+    # of full res (the reference warps full-res images at every level,
+    # model/IFNet.py:84-85, then immediately downsamples them inside the
+    # next block).  Saves two full-res warps + a 17ch full-res resize.
+    fast_level0: bool = False
 
     @property
     def timestep_plane(self) -> bool:
@@ -73,15 +79,20 @@ def init_ifblock(key, cin: int, c: int) -> dict:
     }
 
 
-def ifblock_apply(p, x, flow, scale: float, half_res: bool = False):
+def ifblock_apply(p, x, flow, scale: float, half_res: bool = False,
+                  prescaled: bool = False):
     """One IFBlock (reference model/IFNet.py:39-51).
 
     Returns (flow_residual[4ch], mask_logit[1ch]) at input resolution.
+    prescaled: the caller already built x (and flow) at the working
+    resolution — skip the input downsample but keep the output-upsample
+    contract of `scale` (fast_level0 path).
     """
-    if scale != 1:
+    if scale != 1 and not prescaled:
         x = scale_by(x, 1.0 / scale)
     if flow is not None:
-        flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
+        if not prescaled:
+            flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
         x = jnp.concatenate([x, flow], -1)
     x = conv_prelu(x, p["conv0"][0], stride=1 if half_res else 2)
     x = conv_prelu(x, p["conv0"][1], stride=2)
@@ -135,6 +146,10 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             jnp.asarray(timestep, img0.dtype).reshape((-1, 1, 1, 1)), (n, h, w, 1)
         ).astype(img0.dtype)
 
+    # fast_level0 is an inference-only approximation (merged[0] would
+    # feed the distillation loss in training).
+    fast0 = cfg.fast_level0 and gt is None and not cfg.half_res \
+        and scale_list[1] != 1
     flow = None
     mask = None
     warped0, warped1 = img0, img1
@@ -144,6 +159,25 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
         if flow is None:
             x = cat([img0, img1] + ([tplane] if tplane is not None else []), -1)
             flow, mask = ifblock_apply(p, x, None, scale_list[i], cfg.half_res)
+        elif fast0 and i == 1:
+            # Build block1's input directly at its working resolution:
+            # warp half-res images by half-res flow instead of warping
+            # full-res and letting the block downsample the 17ch concat.
+            s = scale_list[1]
+            inv = 1.0 / s
+            img0_s = scale_by(img0, inv)
+            img1_s = scale_by(img1, inv)
+            flow_s = scale_by(flow, inv) * inv
+            w0_s, w1_s = warp2(img0_s, img1_s, flow_s[..., 0:2], flow_s[..., 2:4])
+            parts = [img0_s, img1_s]
+            if tplane is not None:
+                parts.append(scale_by(tplane, inv))
+            parts += [w0_s, w1_s, scale_by(mask, inv)]
+            flow_d, mask_d = ifblock_apply(
+                p, cat(parts, -1), flow_s, scale_list[i], cfg.half_res,
+                prescaled=True)
+            flow = flow + flow_d
+            mask = mask + mask_d
         else:
             x = cat(
                 [img0, img1]
@@ -156,8 +190,14 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             mask = mask + mask_d
         mask_list.append(jax.nn.sigmoid(mask))
         flow_list.append(flow)
-        warped0, warped1 = warp2(img0, img1, flow[..., 0:2], flow[..., 2:4])
-        merged.append((warped0, warped1))
+        if fast0 and i == 0:
+            # level-0 warps are consumed only by block1 (handled above at
+            # half res) and by the dead merged[0] blend — placeholders
+            # keep the pytree shape; XLA DCEs the blend.
+            merged.append((img0, img1))
+        else:
+            warped0, warped1 = warp2(img0, img1, flow[..., 0:2], flow[..., 2:4])
+            merged.append((warped0, warped1))
 
     flow_teacher = None
     merged_teacher = None

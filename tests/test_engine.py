@@ -170,3 +170,33 @@ def test_optimizer_state_checkpoint_roundtrip(tmp_path):
     # training continues from the restored state
     state3, metrics = step(state2, batch)
     assert int(state3.step) == 2 and np.isfinite(float(metrics["loss"]))
+
+
+def test_fast_level0_mode_close_to_exact(rng):
+    """Opt-in fast serving mode: half-res level-0 warps stay close to the
+    exact path on smooth content (inference-only approximation)."""
+    import jax.numpy as jnp
+
+    from rife_tpu.engine import InferenceEngine
+
+    base = rng.random((1, 72, 104, 3)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)) / 3
+    img0 = jnp.asarray(base[:, :64, :96])
+    img1 = jnp.asarray(base[:, 8:72, 8:104])
+
+    exact = np.asarray(InferenceEngine("rife", seed=0).interpolate(img0, img1))
+    fast = np.asarray(InferenceEngine("rife", seed=0, fast=True).interpolate(img0, img1))
+    assert fast.shape == exact.shape
+    d = np.abs(fast - exact)
+    assert d.mean() < 0.02, d.mean()
+
+    # training path must reject/ignore the approximation: gt forces exact
+    from rife_tpu.models.registry import MODEL_REGISTRY
+    import dataclasses
+
+    dd = MODEL_REGISTRY["rife"]
+    cfg = dataclasses.replace(dd.config, fast_level0=True)
+    out = dd.apply(dd.init(__import__("jax").random.PRNGKey(0), cfg),
+                   img0, img1, gt=img0, scale_list=dd.scale_list, cfg=cfg)
+    assert out["merged_teacher"] is not None
