@@ -144,3 +144,32 @@ def test_y_psnr_formula_matches_reference(rng):
     ours_diff = rgb_to_y(gt / 255.) * 255 - rgb_to_y(out / 255.) * 255
     ours = 20 * math.log10(255.0 / math.sqrt(np.mean(ours_diff ** 2)))
     assert abs(ours - golden) < 1e-9
+
+
+def test_bf16_serving_psnr_cost(tmp_path, capsys):
+    """The bf16 serving path must track the f32 path closely through the
+    full Vimeo90K protocol (guards the 'bf16 costs nothing visible'
+    serving claim with a measured bound)."""
+    import torch
+
+    model = _RefModel(seed=23)
+    root = str(tmp_path / "vimeo")
+    os.makedirs(root)
+    _make_fixture(root, n=2)
+
+    ckpt_dir = str(tmp_path / "train_log")
+    os.makedirs(ckpt_dir)
+    torch.save(model.flownet.state_dict(), os.path.join(ckpt_dir, "flownet.pkl"))
+
+    from rife_tpu.cli.benchmarks import main
+
+    res = {}
+    for dtype in ("float32", "bfloat16"):
+        main(["vimeo90k", "--root", root, "--modelDir", ckpt_dir,
+              "--dtype", dtype])
+        out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+        res[dtype] = json.loads(out[-1])
+    dpsnr = abs(res["float32"]["psnr"] - res["bfloat16"]["psnr"])
+    dssim = abs(res["float32"]["ssim"] - res["bfloat16"]["ssim"])
+    assert dpsnr < 0.25, (dpsnr, res)
+    assert dssim < 0.01, (dssim, res)
