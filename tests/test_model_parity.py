@@ -140,3 +140,40 @@ def test_v425_forward_parity():
     out = v425_apply(params, to_nhwc(img0), to_nhwc(img1), timestep=0.5)
     diff = np.abs(from_nhwc(out["merged"][-1]) - merged[-1].numpy()).max()
     assert diff < 2e-4, diff
+
+
+def test_ifnet_scale_knob_parity():
+    """--scale 0.5 (the UHD knob) divides every pyramid level's working
+    resolution (reference Model.inference scale_list handling,
+    model/RIFE.py:56-58); pin the scale=0.5 graph against torch."""
+    from model.IFNet import IFNet
+
+    torch.manual_seed(17)
+    net = IFNet().eval()
+    params = import_ifnet(_sd_numpy(net))
+
+    # %64-sized input so scale 0.5's coarser pyramid stays integral
+    img0, img1 = _rand_pair(h=64, w=128, seed=21)
+    with torch.no_grad():
+        _, _, merged, _, _, _ = net(torch.cat([img0, img1], 1), scale=[8, 4, 2])
+    out = ifnet_apply(params, to_nhwc(img0), to_nhwc(img1),
+                      scale_list=(8.0, 4.0, 2.0), cfg=IFNetConfig())
+    got = from_nhwc(out["merged"][2])
+    assert np.abs(got - merged[2].numpy()).max() < 2e-4
+
+
+def test_engine_scale_pad_contract():
+    """Engine-side: scale changes pad granularity like the reference
+    (max(32, 32/scale), inference_video.py:199)."""
+    from rife_tpu.engine import InferenceEngine
+
+    assert InferenceEngine("rife", seed=0, scale=0.5).pad_multiple == 64
+    assert InferenceEngine("rife", seed=0, scale=1.0).pad_multiple == 32
+    assert InferenceEngine("rife", seed=0, scale=2.0).pad_multiple == 32
+
+    eng = InferenceEngine("rife", seed=0, scale=0.5)
+    import jax.numpy as jnp
+
+    z0 = jnp.zeros((1, 64, 128, 3), jnp.float32)
+    out = eng.interpolate(z0, z0)
+    assert out.shape == z0.shape and bool(jnp.isfinite(out).all())
