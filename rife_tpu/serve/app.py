@@ -44,7 +44,8 @@ def load_engine(model_dir=None):
                 if os.path.exists(p):
                     ckpt = p
                     break
-        return build_engine(ckpt, None, 1.0, "bfloat16")
+        return build_engine(ckpt, None, 1.0, "bfloat16",
+                            fast=config.FAST_MODE)
     except Exception:
         traceback.print_exc()
         return None

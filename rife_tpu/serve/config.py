@@ -16,6 +16,9 @@ SERVER_NAME = os.environ.get("GRADIO_SERVER_NAME", "0.0.0.0")
 SERVER_PORT = int(os.environ.get("RIFE_TPU_PORT", "7860"))
 AUTH_USERNAME = os.environ.get("AUTH_USERNAME")
 AUTH_PASSWORD = os.environ.get("AUTH_PASSWORD")
+# opt-in fast serving mode (half-res level-0 warps, not exact — see
+# docs/PERFORMANCE.md "Fast serving mode")
+FAST_MODE = os.environ.get("RIFE_TPU_FAST", "0") not in ("0", "", "false")
 
 
 def ensure_dirs():
