@@ -153,6 +153,22 @@ def _replication_pad_h(img01: np.ndarray, pad: int) -> np.ndarray:
     return np.pad(img01, ((pad, pad), (0, 0), (0, 0)), mode="edge")
 
 
+def _clip_list(args):
+    """--clips "path:h:w,..." overrides the canonical HD clip table
+    (benchmark/HD.py:21-33) — used for protocol tests on synthetic clips."""
+    if getattr(args, "clips", None):
+        out = []
+        for spec in args.clips.split(","):
+            path, h, w = spec.rsplit(":", 2)
+            out.append((path, int(h), int(w)))
+        return out
+    return _hd_clips(args.root)
+
+
+def _hd_pad(h: int) -> int:
+    return 24 if h == 720 else (4 if h == 1080 else 16)
+
+
 def run_hd(args):
     """HD 2X midframe Y-PSNR (benchmark/HD.py:21-89): evens->odd midframe
     over the first 100 frames; ReplicationPad 24/4/16 rows by height."""
@@ -160,12 +176,12 @@ def run_hd(args):
 
     engine = _engine(args)
     tot = []
-    for path, h, w in _hd_clips(args.root):
+    for path, h, w in _clip_list(args):
         if not os.path.exists(path):
             print(f"skip missing {path}")
             continue
         reader = YUV420Reader(path, w, h)
-        pad = 24 if h == 720 else (4 if h == 1080 else 16)
+        pad = _hd_pad(h)
         psnr_list = []
         for index in range(0, 100, 2):
             f0 = reader.read_rgb(index)
@@ -196,13 +212,13 @@ def run_hd4x(args):
 
     args.model = args.model or "rife_m"
     engine = _engine(args)
-    groups = {544: [], 720: [], 1080: []}
-    for path, h, w in _hd_clips(args.root):
+    groups = {}
+    for path, h, w in _clip_list(args):
         if not os.path.exists(path):
             print(f"skip missing {path}")
             continue
         reader = YUV420Reader(path, w, h)
-        pad = 24 if h == 720 else (4 if h == 1080 else 16)
+        pad = _hd_pad(h)
         psnr_list = []
         for index in range(0, 100, 4):
             f0 = reader.read_rgb(index)
@@ -223,7 +239,7 @@ def run_hd4x(args):
                 out = np.round(np.clip(pred, 0, 1) * 255.0).astype(np.uint8)
                 diff = rgb_to_y(gt / 255.0) * 255 - rgb_to_y(out / 255.0) * 255
                 psnr_list.append(20 * math.log10(255.0 / math.sqrt(float(np.mean(diff**2)))))
-        groups[h].append(float(np.mean(psnr_list)))
+        groups.setdefault(h, []).append(float(np.mean(psnr_list)))
         print(f"{os.path.basename(path)}: {groups[h][-1]:.4f}")
     result = {f"psnr_{k}p": float(np.mean(v)) for k, v in groups.items() if v}
     print(json.dumps({"benchmark": "hd_multi_4x", **result}))
@@ -303,6 +319,8 @@ def main(argv=None):
         p.add_argument("--modelDir", type=str, default="train_log")
         p.add_argument("--scale", type=float, default=1.0)
         p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+        p.add_argument("--clips", type=str, default=None,
+                       help="override HD clip table: 'path:h:w,...'")
         p.add_argument("--warmup", type=int, default=100)
         p.add_argument("--iters", type=int, default=100)
         p.set_defaults(fn=fn)

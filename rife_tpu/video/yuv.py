@@ -17,10 +17,7 @@ class YUV420Reader:
         self.w, self.h = width, height
         self.frame_bytes = width * height * 3 // 2
 
-    def read_frame(self, index: int | None = None) -> np.ndarray | None:
-        """Returns (H, W, 3) float32 YUV in [0,1] with upsampled chroma.
-        With `index`, seeks to that frame first (the HD benchmark reads
-        frames by random access, benchmark/HD.py:47-51)."""
+    def _read_planes(self, index: int | None):
         if index is not None:
             self.f.seek(index * self.frame_bytes)
         buf = self.f.read(self.frame_bytes)
@@ -30,17 +27,45 @@ class YUV420Reader:
         y = np.frombuffer(buf, np.uint8, w * h).reshape(h, w)
         u = np.frombuffer(buf, np.uint8, w * h // 4, w * h).reshape(h // 2, w // 2)
         v = np.frombuffer(buf, np.uint8, w * h // 4, w * h * 5 // 4).reshape(h // 2, w // 2)
+        return y, u, v
+
+    def read_frame(self, index: int | None = None) -> np.ndarray | None:
+        """Returns (H, W, 3) float32 YUV in [0,1] with upsampled chroma
+        (chroma channels NOT centered).  With `index`, seeks to that frame
+        first (the HD benchmark reads frames by random access,
+        benchmark/HD.py:47-51)."""
+        planes = self._read_planes(index)
+        if planes is None:
+            return None
+        y, u, v = planes
+        w, h = self.w, self.h
         uu = cv2.resize(u, (w, h), interpolation=cv2.INTER_LINEAR)
         vv = cv2.resize(v, (w, h), interpolation=cv2.INTER_LINEAR)
         return np.stack([y, uu, vv], axis=-1).astype(np.float32) / 255.0
 
     def read_rgb(self, index: int | None = None) -> np.ndarray | None:
-        """Frame as uint8 RGB (YUV_Read(toRGB=True) equivalent)."""
-        fr = self.read_frame(index)
-        if fr is None:
+        """Frame as uint8 RGB — exact YUV_Read(toRGB=True) semantics
+        (benchmark/yuv_frame_io.py:30-62): PIL default (bicubic) chroma
+        upsample, chroma centered at 0, skimage yuv2rgb matrix, clip and
+        TRUNCATE to uint8 (the reference uses astype, not rounding)."""
+        planes = self._read_planes(index)
+        if planes is None:
             return None
-        rgb = yuv_to_rgb(fr)
-        return np.clip(rgb * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        y, u, v = planes
+        w, h = self.w, self.h
+        try:
+            from PIL import Image
+
+            uu = np.array(Image.fromarray(u).resize([w, h]))
+            vv = np.array(Image.fromarray(v).resize([w, h]))
+        except ImportError:  # pragma: no cover - PIL is normally present
+            uu = cv2.resize(u, (w, h), interpolation=cv2.INTER_CUBIC)
+            vv = cv2.resize(v, (w, h), interpolation=cv2.INTER_CUBIC)
+        yuv = np.stack(
+            [y / 255.0, uu / 255.0 - 0.5, vv / 255.0 - 0.5], axis=-1
+        ).astype(np.float32)
+        rgb = yuv_to_rgb(yuv)
+        return (255.0 * np.clip(rgb, 0.0, 1.0)).astype(np.uint8)
 
     def __iter__(self):
         while True:

@@ -173,3 +173,315 @@ def test_bf16_serving_psnr_cost(tmp_path, capsys):
     dssim = abs(res["float32"]["ssim"] - res["bfloat16"]["ssim"])
     assert dpsnr < 0.25, (dpsnr, res)
     assert dssim < 0.01, (dssim, res)
+
+
+# ---------------------------------------------------------------------------
+# Round-3: golden cross-validation for the remaining five protocols, same
+# technique as the Vimeo test above — random-init reference model through a
+# literal transcription of the reference loop vs the same weights through
+# our full CLI.
+
+
+class _RefModelM:
+    """Model(arbitrary=True).inference (model/RIFE.py:19-62, TTA=False)."""
+
+    def __init__(self, seed):
+        import torch
+
+        from model.IFNet_m import IFNet_m
+
+        torch.manual_seed(seed)
+        self.flownet = IFNet_m().eval()
+
+    def inference(self, img0, img1, timestep=0.5):
+        import torch
+
+        imgs = torch.cat((img0, img1), 1)
+        _, _, merged, _, _, _ = self.flownet(imgs, [4, 2, 1], timestep=timestep)
+        return merged[2]
+
+
+def _save_weights(model, tmp_path):
+    import torch
+
+    ckpt_dir = str(tmp_path / "train_log")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    torch.save(model.flownet.state_dict(), os.path.join(ckpt_dir, "flownet.pkl"))
+    return ckpt_dir
+
+
+def _smooth_u8(rng, h, w, blur=2):
+    base = rng.random((h, w, 3)).astype(np.float32)
+    for _ in range(blur):
+        base = (base + np.roll(base, 1, 0) + np.roll(base, 1, 1)
+                + np.roll(base, -1, 0) + np.roll(base, -1, 1)) / 5
+    return (base * 255).astype(np.uint8)
+
+
+def _torch01(img_u8):
+    import torch
+
+    return (torch.tensor(img_u8.transpose(2, 0, 1)) / 255.).unsqueeze(0).float()
+
+
+def _run_cli(capsys, argv):
+    from rife_tpu.cli.benchmarks import main
+
+    main(argv)
+    out = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    return json.loads(out[-1])
+
+
+def test_ucf101_cli_matches_reference_protocol(tmp_path, capsys):
+    """benchmark/UCF101.py:19-39 transcription vs our ucf101 runner."""
+    import cv2
+    import torch
+
+    from model.pytorch_msssim import ssim_matlab
+
+    model = _RefModel(seed=31)
+    rng = np.random.default_rng(7)
+    root = tmp_path / "ucf"
+    dirs = []
+    for k in range(3):
+        d = root / f"{k:04d}"
+        os.makedirs(d)
+        base = _smooth_u8(rng, 64 + 8, 96 + 8)
+        for name, off in (("frame_00.png", 0), ("frame_01_gt.png", 2), ("frame_02.png", 4)):
+            cv2.imwrite(str(d / name), base[off:off + 64, off:off + 96])
+        dirs.append(str(d))
+
+    psnr_list, ssim_list = [], []
+    for d in sorted(dirs):
+        img0 = _torch01(cv2.imread(d + "/frame_00.png"))
+        img1 = _torch01(cv2.imread(d + "/frame_02.png"))
+        gt = _torch01(cv2.imread(d + "/frame_01_gt.png"))
+        with torch.no_grad():
+            pred = model.inference(img0, img1)[0]
+        ssim = ssim_matlab(gt, torch.round(pred * 255).unsqueeze(0) / 255.).detach().cpu().numpy()
+        out = pred.detach().cpu().numpy().transpose(1, 2, 0)
+        out = np.round(out * 255) / 255.
+        gt_np = gt[0].cpu().numpy().transpose(1, 2, 0)
+        psnr_list.append(-10 * math.log10(((gt_np - out) * (gt_np - out)).mean()))
+        ssim_list.append(float(ssim))
+    golden_psnr, golden_ssim = float(np.mean(psnr_list)), float(np.mean(ssim_list))
+
+    ckpt_dir = _save_weights(model, tmp_path)
+    res = _run_cli(capsys, ["ucf101", "--root", str(root), "--modelDir", ckpt_dir,
+                            "--dtype", "float32"])
+    assert abs(res["psnr"] - golden_psnr) < 0.05, (res, golden_psnr)
+    assert abs(res["ssim"] - golden_ssim) < 1e-3, (res, golden_ssim)
+
+
+def test_middlebury_cli_matches_reference_protocol(tmp_path, capsys, monkeypatch):
+    """benchmark/MiddleBury_Other.py:19-37 transcription (640x480 zero
+    canvas, top-left placement — the ph/pw in the reference are computed
+    but unused — round-then-IE) vs our middlebury runner, on a 3-name
+    subset of the fixed clip table."""
+    import cv2
+    import torch
+
+    model = _RefModel(seed=41)
+    rng = np.random.default_rng(11)
+    names = ["Beanbags", "Dimetrodon", "DogDance"]
+    droot = tmp_path / "other-data"
+    groot = tmp_path / "other-gt-interp"
+    h, w = 120, 176
+    for n in names:
+        os.makedirs(droot / n)
+        os.makedirs(groot / n)
+        base = _smooth_u8(rng, h + 8, w + 8)
+        cv2.imwrite(str(droot / n / "frame10.png"), base[0:h, 0:w])
+        cv2.imwrite(str(groot / n / "frame10i11.png"), base[2:2 + h, 2:2 + w])
+        cv2.imwrite(str(droot / n / "frame11.png"), base[4:4 + h, 4:4 + w])
+
+    ie_list = []
+    for n in names:
+        i0 = cv2.imread(str(droot / n / "frame10.png")).transpose(2, 0, 1) / 255.
+        i1 = cv2.imread(str(droot / n / "frame11.png")).transpose(2, 0, 1) / 255.
+        gt = cv2.imread(str(groot / n / "frame10i11.png"))
+        imgs = torch.zeros([1, 6, 480, 640])
+        imgs[:, :3, :h, :w] = torch.from_numpy(i0).unsqueeze(0).float()
+        imgs[:, 3:, :h, :w] = torch.from_numpy(i1).unsqueeze(0).float()
+        with torch.no_grad():
+            pred = model.inference(imgs[:, :3], imgs[:, 3:])
+        out = pred[0].detach().cpu().numpy().transpose(1, 2, 0)
+        out = np.round(out[:h, :w] * 255)
+        ie_list.append(np.abs((out - gt * 1.0)).mean())
+    golden_ie = float(np.mean(ie_list))
+
+    import rife_tpu.cli.benchmarks as bm
+
+    monkeypatch.setattr(bm, "_MIDDLEBURY", names)
+    ckpt_dir = _save_weights(model, tmp_path)
+    res = _run_cli(capsys, ["middlebury", "--root", str(droot), "--gt", str(groot),
+                            "--modelDir", ckpt_dir, "--dtype", "float32"])
+    assert abs(res["ie"] - golden_ie) < 1e-2, (res, golden_ie)
+
+
+def test_atd12k_cli_matches_reference_protocol(tmp_path, capsys):
+    """benchmark/ATD12K.py:19-42 transcription (ReplicationPad [0,0,2,2],
+    crop before metrics) vs our atd12k runner."""
+    import cv2
+    import torch
+
+    from model.pytorch_msssim import ssim_matlab
+
+    model = _RefModel(seed=43)
+    rng = np.random.default_rng(13)
+    root = tmp_path / "atd"
+    h, w = 60, 96  # h+2*2 must be %32 for the raw reference model (540p->544)
+    for k in range(3):
+        d = root / f"clip{k}"
+        os.makedirs(d)
+        base = _smooth_u8(rng, h + 8, w + 8)
+        for name, off in (("frame1.png", 0), ("frame2.png", 2), ("frame3.png", 4)):
+            cv2.imwrite(str(d / name), base[off:off + h, off:off + w])
+
+    psnr_list, ssim_list = [], []
+    for k in range(3):
+        d = str(root / f"clip{k}")
+        img0 = _torch01(cv2.imread(d + "/frame1.png"))
+        img1 = _torch01(cv2.imread(d + "/frame3.png"))
+        gt = _torch01(cv2.imread(d + "/frame2.png"))
+        pader = torch.nn.ReplicationPad2d([0, 0, 2, 2])
+        with torch.no_grad():
+            pred = model.inference(pader(img0), pader(img1))[0][:, 2:-2]
+        ssim = ssim_matlab(gt, torch.round(pred * 255).unsqueeze(0) / 255.).detach().cpu().numpy()
+        out = pred.detach().cpu().numpy().transpose(1, 2, 0)
+        out = np.round(out * 255) / 255.
+        gt_np = gt[0].cpu().numpy().transpose(1, 2, 0)
+        psnr_list.append(-10 * math.log10(((gt_np - out) * (gt_np - out)).mean()))
+        ssim_list.append(float(ssim))
+    golden_psnr, golden_ssim = float(np.mean(psnr_list)), float(np.mean(ssim_list))
+
+    ckpt_dir = _save_weights(model, tmp_path)
+    res = _run_cli(capsys, ["atd12k", "--root", str(root), "--modelDir", ckpt_dir,
+                            "--dtype", "float32"])
+    assert abs(res["psnr"] - golden_psnr) < 0.05, (res, golden_psnr)
+    assert abs(res["ssim"] - golden_ssim) < 1e-3, (res, golden_ssim)
+
+
+def _write_synth_yuv(path, h, w, n_frames, seed):
+    """Planar 4:2:0 with smooth drifting content, raw bytes."""
+    rng = np.random.default_rng(seed)
+    base = _smooth_u8(rng, h + 2 * n_frames, w + 2 * n_frames, blur=3)
+    with open(path, "wb") as f:
+        for i in range(n_frames):
+            fr = base[2 * i:2 * i + h, 2 * i:2 * i + w]
+            y = fr[..., 0]
+            u = fr[::2, ::2, 1]
+            v = fr[::2, ::2, 2]
+            f.write(y.tobytes())
+            f.write(u.tobytes())
+            f.write(v.tobytes())
+
+
+def _ref_yuv_read(path, h, w, index):
+    """Literal YUV_Read.read transcription (benchmark/yuv_frame_io.py:30-66)
+    with the skimage yuv2rgb matrix inlined (skimage absent here; the
+    matrix is asserted equal to inv(rgb2yuv) in rife_tpu.video.yuv)."""
+    from PIL import Image
+
+    from rife_tpu.video.yuv import yuv_to_rgb
+
+    frame_length = int(1.5 * h * w)
+    Y_length = h * w
+    Uv_length = int(0.25 * h * w)
+    with open(path, "rb") as fp:
+        fp.seek(index * frame_length, 0)
+        Y = np.fromfile(fp, np.uint8, count=Y_length)
+        U = np.fromfile(fp, np.uint8, count=Uv_length)
+        V = np.fromfile(fp, np.uint8, count=Uv_length)
+    if Y.size < Y_length or U.size < Uv_length or V.size < Uv_length:
+        return None, False
+    Y = np.transpose(np.reshape(Y, [w, h], order='F'))
+    U = np.transpose(np.reshape(U, [w // 2, h // 2], order='F'))
+    V = np.transpose(np.reshape(V, [w // 2, h // 2], order='F'))
+    U = np.array(Image.fromarray(U).resize([w, h]))
+    V = np.array(Image.fromarray(V).resize([w, h]))
+    YUV = np.stack((Y / 255.0, U / 255.0 - 0.5, V / 255.0 - 0.5), axis=-1)
+    RGB = (255.0 * np.clip(yuv_to_rgb(YUV.astype(np.float32)), 0.0, 1.0)).astype('uint8')
+    return RGB, True
+
+
+def _ref_y_psnr(gt_u8, out_u8):
+    """benchmark/HD.py:80-84 (rgb2yuv Y row, inlined)."""
+    coef = np.array([0.299, 0.587, 0.114])
+    diff_rgb = 128.0 + (gt_u8 / 255.) @ coef * 255 - (out_u8 / 255.) @ coef * 255
+    mse = np.mean((diff_rgb - 128.0) ** 2)
+    return 20 * math.log10(255.0 / math.sqrt(mse))
+
+
+def test_hd_cli_matches_reference_protocol(tmp_path, capsys):
+    """benchmark/HD.py:35-89 transcription (YUV_Read toRGB with PIL-bicubic
+    chroma and uint8 truncation, ReplicationPad, crop, round, Y-PSNR) vs
+    our hd runner on a synthetic small clip (pad follows the else-branch
+    rule, 16 rows, as for 544p)."""
+    import torch
+
+    model = _RefModel(seed=47)
+    h, w = 128, 192
+    clip = str(tmp_path / "synth.yuv")
+    _write_synth_yuv(clip, h, w, n_frames=5, seed=17)
+
+    psnr_list = []
+    pad = 16  # h not in (720, 1080) -> else branch (benchmark/HD.py:66-70)
+    pader = torch.nn.ReplicationPad2d([0, 0, pad, pad])
+    for index in range(0, 100, 2):
+        IMAGE1, ok1 = _ref_yuv_read(clip, h, w, index)
+        gt, _ = _ref_yuv_read(clip, h, w, index + 1)
+        IMAGE2, ok2 = _ref_yuv_read(clip, h, w, index + 2)
+        if not ok2:
+            break
+        I0 = torch.from_numpy(np.transpose(IMAGE1, (2, 0, 1)).astype("float32") / 255.).unsqueeze(0)
+        I1 = torch.from_numpy(np.transpose(IMAGE2, (2, 0, 1)).astype("float32") / 255.).unsqueeze(0)
+        with torch.no_grad():
+            pred = model.inference(pader(I0), pader(I1))
+            pred = pred[:, :, pad:-pad]
+        out = (np.round(pred[0].detach().cpu().numpy().transpose(1, 2, 0) * 255)).astype('uint8')
+        psnr_list.append(_ref_y_psnr(gt, out))
+    golden = float(np.mean(psnr_list))
+    assert len(psnr_list) == 2
+
+    ckpt_dir = _save_weights(model, tmp_path)
+    res = _run_cli(capsys, ["hd", "--clips", f"{clip}:{h}:{w}",
+                            "--modelDir", ckpt_dir, "--dtype", "float32"])
+    assert abs(res["psnr_y"] - golden) < 0.05, (res, golden)
+
+
+def test_hd4x_cli_matches_reference_protocol(tmp_path, capsys):
+    """benchmark/HD_multi_4X.py:37-105 transcription (RIFE_m at t=k/4) vs
+    our hd4x runner on a synthetic clip."""
+    import torch
+
+    model = _RefModelM(seed=53)
+    h, w = 128, 192
+    clip = str(tmp_path / "synth4x.yuv")
+    _write_synth_yuv(clip, h, w, n_frames=5, seed=19)
+
+    pad = 16
+    pader = torch.nn.ReplicationPad2d([0, 0, pad, pad])
+    psnr_list = []
+    for index in range(0, 100, 4):
+        IMAGE1, ok1 = _ref_yuv_read(clip, h, w, index)
+        IMAGE2, ok2 = _ref_yuv_read(clip, h, w, index + 4)
+        if not ok2:
+            break
+        gt = [_ref_yuv_read(clip, h, w, index + i)[0] for i in range(1, 4)]
+        I0 = pader(torch.from_numpy(np.transpose(IMAGE1, (2, 0, 1)).astype("float32") / 255.).unsqueeze(0))
+        I1 = pader(torch.from_numpy(np.transpose(IMAGE2, (2, 0, 1)).astype("float32") / 255.).unsqueeze(0))
+        with torch.no_grad():
+            # inference() helper, arbitrary branch (HD_multi_4X.py:37-52)
+            preds = [model.inference(I0, I1, timestep=(i + 1) * 0.25)[0][:, pad:-pad]
+                     for i in range(3)]
+        for i in range(3):
+            out = (np.round(preds[i].detach().cpu().numpy().transpose(1, 2, 0) * 255)).astype('uint8')
+            psnr_list.append(_ref_y_psnr(gt[i], out))
+    golden = float(np.mean(psnr_list))
+    assert len(psnr_list) == 3
+
+    ckpt_dir = _save_weights(model, tmp_path)
+    res = _run_cli(capsys, ["hd4x", "--clips", f"{clip}:{h}:{w}",
+                            "--modelDir", ckpt_dir, "--dtype", "float32"])
+    assert abs(res[f"psnr_{h}p"] - golden) < 0.05, (res, golden)
