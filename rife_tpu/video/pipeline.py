@@ -30,8 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from rife_tpu.engine.schedule import midpoint_tree, timestep_frames
-from rife_tpu.ops import pad_to_multiple, ssim_matlab
+from rife_tpu.ops import pad_to_multiple
 from rife_tpu.ops.pad import plan_pad_to_multiple
+from rife_tpu.video.probe import probe_small, ssim_probe
 
 STATIC_SSIM = 0.996
 SCENE_SSIM = 0.2
@@ -49,26 +50,68 @@ class VideoJob:
     stats: dict = field(default_factory=dict)
 
 
-_PROBE = None
+_SMALL = None
 
 
-def _probe_fn():
-    """Jitted scene-gate probe: 32x32 downsample + ssim_matlab in ONE
-    graph (eager per-op dispatch costs a host round trip each on
-    tunneled runtimes).  Process-wide singleton: rebuilding the jit
-    wrapper per interpolate_video call re-traced on every short service
-    request (compiles are ~minutes on tunneled stacks)."""
-    global _PROBE
-    if _PROBE is None:
+def _small_fn():
+    """Jitted 32x32 f32 downsample of a device frame, fetched for the
+    host-side scene gate.  Process-wide singleton (a fresh jit wrapper
+    per interpolate_video call re-traced on every short service request;
+    compiles are ~minutes on tunneled stacks).
+
+    Only the static-replacement branch uses this — the synthesized
+    candidate frame exists only on device, and static hits are rare.
+    The steady-state per-pair gate runs entirely host-side
+    (video/probe.py) so the main loop never blocks on a device fetch
+    (reference probes on device per pair, inference_video.py:226-228;
+    at the fps target one sync per pair is material)."""
+    global _SMALL
+    if _SMALL is None:
         from rife_tpu.ops import resize_bilinear
 
         @jax.jit
-        def probe(a, b):
-            return ssim_matlab(resize_bilinear(a, (32, 32)),
-                               resize_bilinear(b, (32, 32)), val_range=1.0)
+        def small(a):
+            return resize_bilinear(a.astype(jnp.float32), (32, 32))[0]
 
-        _PROBE = probe
-    return _PROBE
+        _SMALL = small
+    return _SMALL
+
+
+# Module-level prep/post graph caches: fresh closures per interpolate_video
+# call meant a re-trace (= a multi-minute compile on tunneled stacks) per
+# short service request.  Keyed by everything the trace closes over.
+_PREP_CACHE: dict = {}
+_POST_CACHE: dict = {}
+
+
+def _prep_graph(shape, mult, compute_dtype):
+    key = (shape, mult, jnp.dtype(compute_dtype).name)
+    hit = _PREP_CACHE.get(key)
+    if hit is None:
+        p0 = plan_pad_to_multiple(shape[0], shape[1], mult)
+
+        @jax.jit
+        def _prep(u8):
+            x = u8.astype(compute_dtype) / 255.0
+            return jnp.pad(x[None], ((0, 0), (p0.top, p0.bottom),
+                                     (p0.left, p0.right), (0, 0)))
+
+        hit = (_prep, p0)
+        _PREP_CACHE[key] = hit
+    return hit
+
+
+def _post_graph(shape, pad):
+    key = (shape, pad)
+    fn = _POST_CACHE.get(key)
+    if fn is None:
+        @jax.jit
+        def _post(x):
+            y = pad.crop(x.astype(jnp.float32))
+            return jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+        _POST_CACHE[key] = fn = _post
+    return fn
 
 
 def interpolate_video(engine, reader, writer, job: VideoJob, *,
@@ -78,7 +121,6 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
     Returns stats: frames in/out, static/scene-cut counts, fps achieved.
     """
     n_out_per_gap = (1 << job.exp) - 1
-    probe = _probe_fn()
 
     read_q: queue.Queue = queue.Queue(maxsize=job.queue_size)
     write_q: queue.Queue = queue.Queue(maxsize=job.queue_size)
@@ -134,51 +176,25 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
     stats = {"frames_in": 0, "frames_out": 0, "static": 0, "scene_cut": 0}
     t0 = time.perf_counter()
 
-    post_cache = {}
-
     def to_u8_host(frame_dev) -> np.ndarray:
         """Jitted crop+clip+u8 then ONE host fetch; returns (B,h,w,3) u8."""
-        key = frame_dev.shape
-        fn = post_cache.get(key)
-        if fn is None:
-            p0 = pad
-
-            @jax.jit
-            def _post(x):
-                y = p0.crop(x.astype(jnp.float32))
-                return jnp.clip(y * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
-
-            post_cache[key] = fn = _post
-        return np.asarray(fn(frame_dev))
+        return np.asarray(_post_graph(frame_dev.shape, pad)(frame_dev))
 
     def emit(frame, orig=None):
         write_q.put((frame, orig if job.montage else None))
 
-    prep_cache = {}
-
     def device_frame(np_frame):
         # uint8 frames ship 4x fewer bytes over the host->device link;
-        # normalize + pad runs fused on device.
+        # normalize + pad runs fused on device.  Alongside the device
+        # upload, compute the 32x32 host-side scene-gate probe (numpy,
+        # microseconds) so the steady-state loop never syncs on device.
         if np_frame.dtype == np.uint8:
-            key = np_frame.shape
-            fn = prep_cache.get(key)
-            if fn is None:
-                from rife_tpu.ops.pad import plan_pad_to_multiple
-
-                p0 = plan_pad_to_multiple(np_frame.shape[0], np_frame.shape[1], mult)
-
-                @jax.jit
-                def _prep(u8):
-                    x = u8.astype(engine.compute_dtype) / 255.0
-                    return jnp.pad(x[None], ((0, 0), (p0.top, p0.bottom),
-                                             (p0.left, p0.right), (0, 0)))
-
-                fn = (_prep, p0)
-                prep_cache[key] = fn
-            _prep, p0 = fn
-            return _prep(jnp.asarray(np_frame)), p0
-        x, p = pad_to_multiple(jnp.asarray(np_frame[None]), mult)
-        return x, p
+            _prep, p0 = _prep_graph(np_frame.shape, mult, engine.compute_dtype)
+            dev = _prep(jnp.asarray(np_frame))
+        else:
+            dev, p0 = pad_to_multiple(jnp.asarray(np_frame[None]), mult)
+        sm = probe_small(np_frame, (p0.top, p0.bottom, p0.left, p0.right))
+        return dev, p0, sm
 
     def interpolate_gap(a, b):
         if job.use_timestep and engine.supports_timestep:
@@ -280,22 +296,24 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
         write_q.put(None)
         wt.join()
         return stats
-    I1, pad = device_frame(last)
+    I1, pad, sm1 = device_frame(last)
     src = I1        # device frame pending emission as the next source frame
     temp = None     # device read-ahead carried out of a static gate
+    sm_temp = None  # its host probe
 
     while True:
         if temp is not None:
             I0, I1 = I1, temp
+            sm0, sm1 = sm1, sm_temp
             temp = None
         else:
             nxt = read_next()
             if nxt is None:
                 break
-            I0 = I1
-            I1, _ = device_frame(nxt)
+            I0, sm0 = I1, sm1
+            I1, _, sm1 = device_frame(nxt)
 
-        s = float(probe(I0, I1))
+        s = ssim_probe(sm0, sm1)  # host-side: no device round-trip
         break_flag = False
         if s > STATIC_SSIM:
             stats["static"] += 1
@@ -304,10 +322,13 @@ def interpolate_video(engine, reader, writer, job: VideoJob, *,
                 break_flag = True
                 nxt_dev = I1  # duplicate itself (ref: frame = lastframe)
             else:
-                nxt_dev, _ = device_frame(after)
+                nxt_dev, _, sm_temp = device_frame(after)
                 temp = nxt_dev
             I1 = engine.interpolate(I0, nxt_dev, 0.5, job.tta)
-            s = float(probe(I0, I1))
+            # synthesized frame exists only on device: one tiny 32x32
+            # fetch (rare branch), then the gate re-check runs host-side
+            sm1 = np.asarray(_small_fn()(I1))
+            s = ssim_probe(sm0, sm1)
 
         queue_frame(src, src)
         if s < SCENE_SSIM:
