@@ -56,7 +56,8 @@ class InferenceEngine:
 
     # -- graph construction -------------------------------------------------
 
-    def _forward(self, params, img0, img1, timestep, tta: bool):
+    def _forward(self, params, img0, img1, timestep, tta: bool,
+                 with_flow: bool = False):
         img0 = img0.astype(self.compute_dtype)
         img1 = img1.astype(self.compute_dtype)
         apply = self.model_def.apply
@@ -65,13 +66,16 @@ class InferenceEngine:
         def run(a, b):
             out = apply(params, a, b, timestep=timestep,
                         scale_list=self.scale_list, cfg=cfg)
-            return out["merged"][-1]
+            return out["merged"][-1], out["flow_list"][-1]
 
-        mid = run(img0, img1)
+        mid, flow = run(img0, img1)
         if tta:
             flip = lambda x: x[:, ::-1, ::-1, :]
-            mid2 = run(flip(img0), flip(img1))
+            mid2, _ = run(flip(img0), flip(img1))
             mid = (mid + flip(mid2)) / 2
+        if with_flow:
+            # finest-level flow (used by the spatial-shard motion guard)
+            return mid, flow
         return mid
 
     def _get_fn(self, shape, tta: bool):

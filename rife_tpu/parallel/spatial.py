@@ -78,12 +78,32 @@ def interpolate_batch_sharded(engine, mesh, img0, img1, timestep: float = 0.5,
 
 
 def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
-                        margin: int = 64, axis: str = "data"):
+                        margin: int = 64, axis: str = "data",
+                        on_violation: str = "fallback"):
     """Spatially-sharded single-pair inference with ICI halo exchange.
 
     img0/img1: (N, H, W, C) with H divisible by (devices * pad_multiple)
     and margin a multiple of the model's pad granularity.
+
+    Motion guard: the seam bound only holds while the model's vertical
+    flow stays inside the halo (|flow_y| <= margin) — beyond it the warp
+    clamps at the slab edge and seams corrupt silently.  Every call
+    therefore also computes max|flow_y| of the finest flow on-device
+    (pmax-reduced over the mesh, one extra scalar fetch) and applies
+    `on_violation` when it exceeds `margin`:
+
+    - "fallback" (default): recompute the pair exactly on one device via
+      engine.interpolate and return that (correct, slower).
+    - "raise": raise ValueError.
+    - "ignore": return the slab result anyway (caller accepts clamping).
+
+    Global top/bottom slabs get replicate-halos (their own edge row
+    repeated) instead of the zeros ppermute leaves behind — much closer
+    to the true frame-boundary behavior (conv zero-pad + warp border
+    clamp happen `margin` rows away from real content either way, but
+    replicated content doesn't bleed darkness into the convs).
     """
+    assert on_violation in ("fallback", "raise", "ignore"), on_violation
     d = mesh.shape[axis]
     n, h, w, c = img0.shape
     pm = engine.pad_multiple
@@ -99,25 +119,32 @@ def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
     key = ("spatial", mesh, img0.shape, img0.dtype, margin)
     fn = engine._cache.get(key)
     if fn is None:
-        fwd = functools.partial(engine._forward, tta=False)
+        fwd = functools.partial(engine._forward, tta=False, with_flow=True)
 
         def per_slab(params, a, b, t):
             # a, b: (N, H/d, W, C) local slabs
             fwd_perm = [(i, i + 1) for i in range(d - 1)]
             bwd_perm = [(i + 1, i) for i in range(d - 1)]
+            idx = lax.axis_index(axis)
 
             def with_halo(x):
                 top = lax.ppermute(x[:, -margin:], axis, fwd_perm)
                 bot = lax.ppermute(x[:, :margin], axis, bwd_perm)
+                rep_top = jnp.broadcast_to(x[:, :1], top.shape)
+                rep_bot = jnp.broadcast_to(x[:, -1:], bot.shape)
+                top = jnp.where(idx == 0, rep_top, top)
+                bot = jnp.where(idx == d - 1, rep_bot, bot)
                 return jnp.concatenate([top, x, bot], axis=1)
 
-            out = fwd(params, with_halo(a), with_halo(b), t)
-            return out[:, margin:-margin]
+            out, flow = fwd(params, with_halo(a), with_halo(b), t)
+            # flow channels are (dx0, dy0, dx1, dy1): guard the y motion
+            mx = jnp.max(jnp.abs(flow[..., 1::2].astype(jnp.float32)))
+            return out[:, margin:-margin], lax.pmax(mx, axis)
 
         fn = jax.jit(shard_map(
             per_slab, mesh=mesh,
             in_specs=(P(), P(None, axis), P(None, axis), P()),
-            out_specs=P(None, axis),
+            out_specs=(P(None, axis), P()),
             **_SHARD_MAP_KW,
         ))
         engine._cache[key] = fn
@@ -126,4 +153,14 @@ def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
 
     t = jnp.asarray(timestep, jnp.float32)
     with use_warp_impl(engine.warp_impl):
-        return fn(params, img0, img1, t)
+        out, maxflow = fn(params, img0, img1, t)
+    if float(maxflow) > margin and on_violation != "ignore":
+        msg = (f"spatial-shard motion guard: max|flow_y|={float(maxflow):.1f} "
+               f"exceeds the {margin}-row halo; seams would clamp")
+        if on_violation == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg + " — falling back to exact single-device inference")
+        return engine.interpolate(img0, img1, timestep)
+    return out
