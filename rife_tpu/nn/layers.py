@@ -90,43 +90,14 @@ def conv2d(x: jnp.ndarray, p: dict, stride: int = 1, padding: int | None = None,
     return out
 
 
-def _conv3s2_s2d(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Exact space-to-depth rewrite of a 3x3/stride-2/pad-1 conv.
-
-    NOTE: measured SLOWER than the native conv on the current TPU
-    compiler (the s2d relayout dominates); kept for reference and tested
-    for exactness, but not dispatched from conv2d.
-    """
-    w = p["w"]  # (3, 3, ci, co)
-    ci, co = w.shape[2], w.shape[3]
-    n, h, ww_, c = x.shape
-    # s2d with the extra top/left source row/col the 3x3 window needs.
-    xp = jnp.pad(x, ((0, 0), (2, 0), (2, 0), (0, 0)))
-    xs = xp.reshape(n, h // 2 + 1, 2, ww_ // 2 + 1, 2, c)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2 + 1, ww_ // 2 + 1, 4 * c)
-    # kernel: Ks[u, v, (phy, phx, c), o] = Wpad[2u+phy, 2v+phx, c, o]
-    wpad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))
-    ks = wpad.reshape(2, 2, 2, 2, ci, co).transpose(0, 2, 1, 3, 4, 5).reshape(2, 2, 4 * ci, co)
-    out = lax.conv_general_dilated(
-        xs, ks.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((0, 0), (0, 0)),
-        dimension_numbers=_DIMNUMS,
-        precision=_precision_for(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    if "b" in p:
-        out = out + p["b"].astype(x.dtype)
-    return out
-
-
 def conv_transpose2d(x: jnp.ndarray, p: dict, stride: int = 2,
                      torch_padding: int = 1) -> jnp.ndarray:
     """torch ConvTranspose2d(k, stride, padding) with pre-flipped weights.
 
-    (A phase-decomposed 2x2-conv rewrite exists in _deconv422_phase but
-    measured slower than the dilated form on the current TPU compiler —
-    the interleave relayout dominates — so it is not dispatched.)
+    (A phase-decomposed 2x2-conv rewrite and a space-to-depth stride-2
+    rewrite were measured slower than the dilated/native forms on the
+    current TPU compiler — relayouts dominate; see docs/PERFORMANCE.md
+    "Measured negative results" and git history for the code.)
     """
     w = p["w"].astype(x.dtype)  # (kh, kw, I, O), already spatially flipped
     k = w.shape[0]
@@ -147,41 +118,6 @@ def conv_transpose2d(x: jnp.ndarray, p: dict, stride: int = 2,
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out
-
-
-def _deconv422_phase(x: jnp.ndarray, p: dict) -> jnp.ndarray:
-    """Exact phase decomposition of ConvTranspose2d(k4, s2, p1).
-
-    out[2i+di, 2j+dj] = sum_{u,v in {0,1}} Wf[2u+di, 2v+dj] . x[i+u-1+di, j+v-1+dj]
-    => pad x by 1, one VALID 2x2 conv with phase-major channels, slice
-    each phase by its (di, dj) offset, interleave via pixel_shuffle.
-    """
-    wf = p["w"]  # (4, 4, I, O)
-    ci, co = wf.shape[2], wf.shape[3]
-    # (u, di, v, dj, i, o) -> (u, v, i, (di, dj), o) -> (2, 2, I, 4*O)
-    wp = wf.reshape(2, 2, 2, 2, ci, co).transpose(0, 2, 4, 1, 3, 5).reshape(2, 2, ci, 4 * co)
-    wp = wp.astype(x.dtype)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    o = lax.conv_general_dilated(
-        xp, wp,
-        window_strides=(1, 1),
-        padding=((0, 0), (0, 0)),
-        dimension_numbers=_DIMNUMS,
-        precision=_precision_for(x.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
-    n, h1, w1, _ = o.shape
-    h, w = h1 - 1, w1 - 1
-    phases = []
-    for di in (0, 1):
-        for dj in (0, 1):
-            pidx = di * 2 + dj
-            phases.append(o[:, di:di + h, dj:dj + w, pidx * co:(pidx + 1) * co])
-    y = jnp.stack(phases, axis=-1).reshape(n, h, w, co * 4)
-    y = pixel_shuffle(y, 2)
-    if "b" in p:
-        y = y + p["b"].astype(x.dtype)
-    return y
 
 
 def prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:

@@ -72,6 +72,12 @@ def _encode_frames(frames01: list[np.ndarray], out_path: str, fps: float):
     for f in frames01:
         writer.write(f32_to_u8(f)[..., ::-1])
     writer.release()
+    # cv2 cannot tag color metadata; patch a BT.709 colr atom in post so
+    # the fallback matches the ffmpeg path's always-tagged contract
+    # (reference image_interpolator.py:90-106).
+    from rife_tpu.video.mp4meta import tag_bt709
+
+    tag_bt709(out_path)
 
 
 def interpolate_pair_to_video(engine: InferenceEngine, img0: np.ndarray,

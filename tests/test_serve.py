@@ -40,6 +40,34 @@ def test_pair_to_video(engine, tmp_path, rng):
     import os
 
     assert os.path.getsize(out) > 0
+    from rife_tpu.video.io import have_ffmpeg
+    from rife_tpu.video.mp4meta import read_colr
+
+    if not have_ffmpeg():
+        # cv2 fallback output must carry the BT.709 colr atom the ffmpeg
+        # path always tags (reference image_interpolator.py:90-106)
+        assert read_colr(out) == (1, 1, 1)
+
+
+def test_mp4_colr_tagging(tmp_path, small_video):
+    import shutil
+
+    from rife_tpu.video.mp4meta import read_colr, tag_bt709
+
+    p = str(tmp_path / "c.mp4")
+    shutil.copy(small_video, p)
+    assert read_colr(p) is None
+    assert tag_bt709(p) is True
+    assert read_colr(p) == (1, 1, 1)
+    size = __import__("os").path.getsize(p)
+    assert tag_bt709(p) is True  # idempotent
+    assert __import__("os").path.getsize(p) == size
+    # file stays decodable after the box surgery
+    import cv2
+
+    cap = cv2.VideoCapture(p)
+    ok, fr = cap.read()
+    assert ok and fr is not None
 
 
 def test_disk_based_pair(engine, tmp_path, rng):
