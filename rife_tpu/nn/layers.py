@@ -9,8 +9,11 @@ framework.  Conventions:
   input channels), so at runtime a ConvTranspose is just an
   input-dilated conv_general_dilated.  The torch-state-dict importer and
   the initializers both produce this form.
-- compute dtype follows the input; accumulation is forced to f32 via
-  preferred_element_type so bf16 activations keep MXU-f32 accuracy.
+- compute dtype follows the input.  The MXU accumulates bf16 convs in
+  f32 internally; the conv OUTPUT dtype matches the input (an explicit
+  f32 preferred_element_type on bf16 operands breaks this JAX version's
+  conv VJP with a dtype mismatch, and buys nothing since the result is
+  immediately cast back to the compute dtype anyway).
 
 These are the building blocks for IFBlock/Contextnet/Unet
 (reference: model/IFNet.py:7-18, model/refine.py:11-22).
@@ -28,8 +31,7 @@ _DIMNUMS = ("NHWC", "HWIO", "NHWC")
 # f32 operands to bf16 on TPU (and mirrors that on CPU), so f32 paths pin
 # HIGHEST.  bf16 inputs use DEFAULT — they are already bf16-exact, and
 # HIGHEST would force a slow multi-pass f32 algorithm on the MXU
-# (measured ~150x off peak).  Accumulation is f32 either way via
-# preferred_element_type.
+# (measured ~150x off peak).  MXU accumulation is f32 either way.
 def _precision_for(dtype):
     return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
 
@@ -83,7 +85,7 @@ def conv2d(x: jnp.ndarray, p: dict, stride: int = 1, padding: int | None = None,
             rhs_dilation=(dilation, dilation),
             dimension_numbers=_DIMNUMS,
             precision=_precision_for(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         ).astype(x.dtype)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
@@ -113,7 +115,7 @@ def conv_transpose2d(x: jnp.ndarray, p: dict, stride: int = 2,
             lhs_dilation=(stride, stride),
             dimension_numbers=_DIMNUMS,
             precision=_precision_for(x.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=x.dtype,
         ).astype(x.dtype)
     if "b" in p:
         out = out + p["b"].astype(x.dtype)

@@ -54,7 +54,7 @@ def conv2d_tiled(x: jnp.ndarray, w: jnp.ndarray, stride: int, precision,
         tiles, w, (s, s), ((0, 0), (1, 1)),
         dimension_numbers=_DN,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)
     y = y.reshape(n, nt * T, -1, w.shape[-1])
     return y[:, :h // s]
@@ -78,7 +78,7 @@ def conv_transpose2d_tiled(x: jnp.ndarray, w: jnp.ndarray, precision,
         lhs_dilation=(2, 2),
         dimension_numbers=_DN,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).astype(x.dtype)
     # tile covers input rows [a-1, a+T+1); out_tile[j] = out_full[2(a-1)+j]
     y = y[:, 2:2 + 2 * T]

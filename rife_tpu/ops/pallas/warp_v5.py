@@ -81,12 +81,19 @@ def _tile_scalars_v5(flow, H, W, HP, WP, win_w, tile_h):
         x_min.reshape(-1), x_max.reshape(-1),
     ]).astype(jnp.int32)
 
-    # Program-level anchor: min ystart over the program's tile_h x TILE_W
-    # output tile, snapped to WIN_ROWS blocks, clipped so block k+1 exists.
-    ty_min, _ = _rw(y0i, (tile_h, TILE_W))
+    # Program-level anchor: the window [32k, 32k+64) must cover the
+    # program's source rows [ty_min, ty_max+1].  Snapping ty_min down
+    # wastes up to 31 rows (measured: systematic bottom-row escapes even
+    # for tiny flows), so pick the HIGHEST block k whose window still
+    # covers the top row: k = clip(ceil((ty_max+2-64)/32), 0, ty_min//32).
+    # When the span fits 64 rows this covers it exactly; when it does
+    # not, the window anchors at the top and the bottom clamps (the v4
+    # escape class).
+    ty_min, ty_max = _rw(y0i, (tile_h, TILE_W))
     pstart = jnp.minimum(ty_min, HP - SUB_H)
     max_blk = max(HP // WIN_ROWS - 2, 0)
-    rowblk = jnp.clip(pstart // WIN_ROWS, 0, max_blk)
+    want = -((2 * WIN_ROWS - 2 - ty_max) // WIN_ROWS)  # ceil((ty_max+2-64)/32)
+    rowblk = jnp.clip(want, 0, jnp.minimum(pstart // WIN_ROWS, max_blk))
     return sc, rowblk.reshape(-1).astype(jnp.int32)
 
 

@@ -92,6 +92,31 @@ def test_loss_decreases_single_device():
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
 
 
+def test_train_step_bf16_activations():
+    """The --dtype bfloat16 path end-to-end through grad: regression for
+    the conv-VJP dtype mismatch (an f32 preferred_element_type on bf16
+    conv operands broke value_and_grad; params/optimizer stay f32)."""
+    import dataclasses
+
+    from rife_tpu.models.ifnet import IFNetConfig
+
+    d = MODEL_REGISTRY["rife"]
+    # Tiny channel widths: the regression is dtype plumbing through
+    # value_and_grad, not capacity — keeps the CPU compile to seconds.
+    d = dataclasses.replace(
+        d, config=IFNetConfig(block_channels=(16, 16, 16), teacher_channels=16))
+    state, tx, _ = train_init(d, total_steps=20, peak_lr=1e-4)
+    step = make_train_step(d, tx, compute_dtype=jnp.bfloat16)
+    ds = SyntheticTriplets(n=8, h=64, w=64)
+    it = batch_iterator(ds, 2, crop=32, epochs=None)
+    losses = []
+    for i, batch in zip(range(2), it):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
 def test_synthetic_dataset_and_augmentation():
     ds = SyntheticTriplets(n=8, h=80, w=96)
     batches = batch_iterator(ds, 4, crop=64, epochs=1)
