@@ -313,9 +313,21 @@ def warp_pallas(img: jnp.ndarray, flow: jnp.ndarray, *, win_h: int = 32,
 
 
 def warp_pallas_auto(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Channel-count dispatch: feature maps (C >= 8) take the v4
-    merged-row kernel (measured 16-20% faster there); small-channel
-    image warps keep v3 (v4's merge overhead loses at cb <= 4)."""
+    """bf16 planes (the serving path) dispatch to the v5 windowed
+    merged-row kernel: measured 57.9 vs 53.4 fps/chip end-to-end over
+    the previous v3(images)/v4(features) split, with strictly fewer
+    window-escape pixels on aggressive flows (tools/r3_exp5.py
+    arbitration: image 1.6e-3 vs 3.2e-3 escape frac, feature 1.1e-6 vs
+    1.1e-3) and O(96*W) VMEM instead of O(H*W), so it also scales past
+    1080p where v3/v4 OOM.
+
+    f32 inputs keep the v3/v4 split: v5 stores its plane taps at bf16
+    by design, which would silently quantize the f32 parity paths
+    (benchmarks publish f32 numbers through this dispatcher)."""
+    if img.dtype == jnp.bfloat16:
+        from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5
+
+        return warp_pallas_v5(img, flow)
     if img.shape[-1] >= 8:
         from rife_tpu.ops.pallas.warp_v4 import warp_pallas_v4
 

@@ -14,19 +14,25 @@ Two structural changes over v4 (warp_v4.py), same merged-row design:
 
 2. **Dynamic row windows.**  Instead of keeping the whole padded plane
    resident in VMEM (which capped the channel block at 1 for 720p
-   images and OOMs beyond ~1080p), the plane is passed twice with
-   scalar-prefetch-driven index_maps selecting two consecutive 32-row
-   blocks per program — a 64-row window around the program's minimum
-   source row.  VMEM per channel drops from O(H*W) to O(64*W), so all
-   channels ride one program group and Pallas pipelines the window DMA
-   behind compute.
+   images and OOMs beyond ~1080p), the plane is passed three times with
+   scalar-prefetch-driven index_maps selecting three consecutive 32-row
+   blocks per program — a 96-row window anchored at (or just below) the
+   program's minimum source row.  VMEM per channel drops from O(H*W) to
+   O(96*W), so all channels ride one program group and Pallas pipelines
+   the window DMA behind compute.  (A 2-block/64-row window was tried
+   first: block alignment wastes up to 31 rows below the anchor, so it
+   guarantees only 33 usable rows above ty_min — measured as systematic
+   bottom-row escapes whenever a tile's min source row landed just
+   under a 32-row boundary.  Three blocks guarantee >= 65.)
 
 Window contract: exact vs the ops.warp_xla semantics (border clamp,
-align_corners pixel units) whenever each program's source rows fit
-[32*k, 32*k+64) for the program-wide anchor k and each (8,128) output
-subtile's x-span fits the v4 x-window (wx..wx+win_w).  Escapes clamp to
-the window edge (same class as v3/v4, see warp.py docstring); RIFE
-flows are bilinearly-upsampled coarse outputs and stay well inside.
+align_corners pixel units) whenever (a) each program's (32 x 256)
+output tile has a source-row span <= 65 rows, (b) each (8,128) output
+subtile's row span fits the 3-piece merge (<= 23 rows, same as v4) and
+(c) its x-span fits the v3/v4 x-window (wx..wx+win_w, 128-aligned
+anchor).  Escapes clamp to the window edge (same class as v3/v4, see
+warp.py docstring); RIFE flows are bilinearly-upsampled coarse outputs
+and stay well inside (a)-(b); (c) escapes match v3/v4 by construction.
 
 Reference semantics being reproduced: model/warplayer.py:6-22 (the
 torch grid_sample backward warp).
@@ -59,6 +65,25 @@ def _tile_scalars_v5(flow, H, W, HP, WP, win_w, tile_h):
     x_hi NOT extended by +1 — the packed tap covers the neighbour) plus a
     per-program row-block anchor for the window index_map."""
     y0i, x0i, _, _ = _source_coords(flow, H, W)
+    return _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h)
+
+
+def _tile_scalars_v5_pl(flow_pl, H, W, HP, WP, win_w, tile_h):
+    """Same scalars computed from (N, 2, HP, WP) flow planes — the
+    reduce_windows then run on dense (H, W)-tiled data instead of the
+    2-lane-sparse NHWC layout (measured 0.65 ms -> ~0.1 ms per call at
+    720p b4, tools/r3_exp6.py vs r3_exp9.py)."""
+    shp = flow_pl.shape[:1] + flow_pl.shape[2:]
+    ys = lax.broadcasted_iota(jnp.int32, shp, 1).astype(jnp.float32)
+    xs = lax.broadcasted_iota(jnp.int32, shp, 2).astype(jnp.float32)
+    ix = jnp.clip(xs + flow_pl[:, 0].astype(jnp.float32), 0.0, W - 1)
+    iy = jnp.clip(ys + flow_pl[:, 1].astype(jnp.float32), 0.0, H - 1)
+    x0i = jnp.floor(ix).astype(jnp.int32)
+    y0i = jnp.floor(iy).astype(jnp.int32)
+    return _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h)
+
+
+def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h):
 
     def _rw(x, wdim):
         mn = lax.reduce_window(x, jnp.int32(2**30), lax.min,
@@ -81,25 +106,25 @@ def _tile_scalars_v5(flow, H, W, HP, WP, win_w, tile_h):
         x_min.reshape(-1), x_max.reshape(-1),
     ]).astype(jnp.int32)
 
-    # Program-level anchor: the window [32k, 32k+64) must cover the
-    # program's source rows [ty_min, ty_max+1].  Snapping ty_min down
-    # wastes up to 31 rows (measured: systematic bottom-row escapes even
-    # for tiny flows), so pick the HIGHEST block k whose window still
-    # covers the top row: k = clip(ceil((ty_max+2-64)/32), 0, ty_min//32).
-    # When the span fits 64 rows this covers it exactly; when it does
-    # not, the window anchors at the top and the bottom clamps (the v4
-    # escape class).
-    ty_min, ty_max = _rw(y0i, (tile_h, TILE_W))
+    # Program-level anchor: the window [32k, 32k + 3*32) must cover the
+    # program's source rows [ty_min, ty_max+1].  The anchor must sit at
+    # or below ty_min (subtile reads below the window clamp), and block
+    # alignment can waste up to 31 rows below it, so a 2-block (64-row)
+    # window guarantees only 33 usable rows above ty_min — measured as
+    # systematic bottom-row escapes whenever ty_min lands just under a
+    # block boundary.  Three 32-row blocks guarantee >= 65 rows above
+    # ty_min: any tile whose source span fits 65 rows (tile_h=32 plus up
+    # to 32 rows of in-tile flow variation) is covered exactly.
+    ty_min, _ = _rw(y0i, (tile_h, TILE_W))
     pstart = jnp.minimum(ty_min, HP - SUB_H)
-    max_blk = max(HP // WIN_ROWS - 2, 0)
-    want = -((2 * WIN_ROWS - 2 - ty_max) // WIN_ROWS)  # ceil((ty_max+2-64)/32)
-    rowblk = jnp.clip(want, 0, jnp.minimum(pstart // WIN_ROWS, max_blk))
+    max_blk = max(HP // WIN_ROWS - 3, 0)
+    rowblk = jnp.clip(pstart // WIN_ROWS, 0, max_blk)
     return sc, rowblk.reshape(-1).astype(jnp.int32)
 
 
-def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, flow_ref, out_ref,
-                    acc_ref, *, H, W, HP, WP, win_w, cb, cg, nsh, nsw, nth,
-                    ntw, tile_h, skip):
+def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
+                    out_ref, acc_ref, *, H, W, HP, WP, win_w, cb, cg, nsh,
+                    nsw, nth, ntw, tile_h, skip):
     g0 = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -150,23 +175,34 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, flow_ref, out_ref,
                 acc_ref[c] = jnp.zeros((SUB_H, SUB_W), jnp.float32)
 
             def load8(row):
-                """8 aligned rows [row, row+8) from the 64-row A|B window,
-                as a function returning per-channel loads.  `row` is plane
-                -absolute, 8-aligned, guaranteed >= win_base by the anchor
-                construction; rows beyond the window clamp to its top."""
-                rel = jnp.clip(row - win_base, 0, 2 * WIN_ROWS - SUB_H)
+                """8 aligned rows [row, row+8) from the 96-row A|B|C
+                window.  `row` is plane-absolute, 8-aligned, guaranteed
+                >= win_base by the anchor construction; rows beyond the
+                window clamp to its top."""
+                rel = jnp.clip(row - win_base, 0, 3 * WIN_ROWS - SUB_H)
                 in_a = rel < WIN_ROWS
-                offA = pl.multiple_of(
-                    jnp.where(in_a, rel, 0), SUB_H)
+                in_b = jnp.logical_and(rel >= WIN_ROWS, rel < 2 * WIN_ROWS)
+                offA = pl.multiple_of(jnp.where(in_a, rel, 0), SUB_H)
                 offB = pl.multiple_of(
-                    jnp.where(in_a, 0, rel - WIN_ROWS), SUB_H)
-                return rel, in_a, offA, offB
+                    jnp.where(in_b, rel - WIN_ROWS, 0), SUB_H)
+                offC = pl.multiple_of(
+                    jnp.where(jnp.logical_or(in_a, in_b), 0,
+                              rel - 2 * WIN_ROWS), SUB_H)
+                return in_a, in_b, offA, offB, offC
+
+            def load_ch(c, sel, xsl):
+                in_a, in_b, offA, offB, offC = sel
+                return jnp.where(
+                    in_a, imgA_ref[0, c, pl.ds(offA, SUB_H), xsl],
+                    jnp.where(in_b,
+                              imgB_ref[0, c, pl.ds(offB, SUB_H), xsl],
+                              imgC_ref[0, c, pl.ds(offC, SUB_H), xsl]))
 
             def piece(m):
                 la = jnp.minimum(ya0 + SUB_H * m, HP - SUB_H)
                 lb = jnp.minimum(ya0 + SUB_H * (m + 1), HP - SUB_H)
-                _, a_in_a, a_offA, a_offB = load8(la)
-                _, b_in_a, b_offA, b_offB = load8(lb)
+                sel_a = load8(la)
+                sel_b = load8(lb)
                 w_rows = [
                     jnp.maximum(0.0, 1.0 - jnp.abs(SUB_H * m + s - yrel))
                     for s in range(SUB_H)
@@ -183,14 +219,8 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, flow_ref, out_ref,
                         m1 = jnp.where(lane_blk == b, fx, 0.0)
                         xsl = pl.ds(wx + b * SUB_W, SUB_W)
                         for c in range(cb):
-                            a = jnp.where(
-                                a_in_a,
-                                imgA_ref[0, c, pl.ds(a_offA, SUB_H), xsl],
-                                imgB_ref[0, c, pl.ds(a_offB, SUB_H), xsl])
-                            bch = jnp.where(
-                                b_in_a,
-                                imgA_ref[0, c, pl.ds(b_offA, SUB_H), xsl],
-                                imgB_ref[0, c, pl.ds(b_offB, SUB_H), xsl])
+                            a = load_ch(c, sel_a, xsl)
+                            bch = load_ch(c, sel_b, xsl)
                             merged = jnp.where(
                                 sel_y,
                                 jnp.take_along_axis(a, idx_a, axis=0),
@@ -237,22 +267,37 @@ def _pack_pairs(planes_bf16: jnp.ndarray) -> jnp.ndarray:
 def warp_pallas_v5(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
                    interpret: bool = False, skip: bool | None = None,
                    tile_h: int = TILE_H) -> jnp.ndarray:
-    """Backward bilinear warp, v5 packed/windowed kernel.
+    """Backward bilinear warp, v5 packed/windowed kernel (NHWC entry).
 
     img: (N, H, W, C) — any float dtype; taps are read at bf16 precision
     (the serving-path plane storage).  flow: (N, H, W, 2) pixel units.
     """
-    n, h, w, c = img.shape
-    out_dtype = img.dtype
+    out = warp_pallas_v5_pl(
+        jnp.moveaxis(img, -1, 1), jnp.moveaxis(flow, -1, 1),
+        win_w=win_w, interpret=interpret, skip=skip, tile_h=tile_h)
+    return jnp.moveaxis(out, 1, -1).astype(img.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("win_w", "interpret", "skip",
+                                             "tile_h"))
+def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
+                      win_w: int = 256, interpret: bool = False,
+                      skip: bool | None = None,
+                      tile_h: int = TILE_H) -> jnp.ndarray:
+    """Plane-native v5 warp: (N, C, H, W) x (N, 2, H, W) -> (N, C, H, W)
+    bf16.  The plane-major inference glue calls this directly so no
+    NHWC<->NCHW relayout (~0.8 ms each at 720p, tools/r3_exp8.py) ever
+    enters the graph; scalar prep also runs on the dense planes."""
+    n, c, h, w = planes_in.shape
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
-    hp = max(_ceil_to(h, tile_h), 2 * WIN_ROWS)
+    hp = max(_ceil_to(h, tile_h), 3 * WIN_ROWS)
     wp = _ceil_to(w, TILE_W)
     win_w = min(win_w, wp)
 
-    # Window residency: 2 x WIN_ROWS x wp f32 per channel (+ out tile).
-    per_cb = 2 * WIN_ROWS * wp * 4 + tile_h * TILE_W * 4
+    # Window residency: 3 x WIN_ROWS x wp f32 per channel (+ out tile).
+    per_cb = 3 * WIN_ROWS * wp * 4 + tile_h * TILE_W * 4
     cb = max(1, min(c, _VMEM_IMG_BUDGET // per_cb))
     while c % cb:
         cb -= 1
@@ -260,15 +305,15 @@ def warp_pallas_v5(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
     if skip is None:
         skip = True
 
-    planes = jnp.moveaxis(img, -1, 1).astype(jnp.bfloat16)
-    flow_pl = jnp.moveaxis(flow, -1, 1).astype(jnp.float32)
+    planes = planes_in.astype(jnp.bfloat16)
+    flow_pl = flow_pl.astype(jnp.float32)
     if (hp, wp) != (h, w):
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
         flow_pl = jnp.pad(flow_pl, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
     packed = _pack_pairs(planes)
 
-    scalars, rowblk = _tile_scalars_v5(
-        jnp.moveaxis(flow_pl, 1, -1), h, w, hp, wp, win_w, tile_h)
+    scalars, rowblk = _tile_scalars_v5_pl(
+        flow_pl, h, w, hp, wp, win_w, tile_h)
 
     nth = hp // tile_h
     ntw = wp // TILE_W
@@ -294,6 +339,9 @@ def warp_pallas_v5(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
                 pl.BlockSpec((1, cb, WIN_ROWS, wp),
                              functools.partial(win_index, delta=1),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, cb, WIN_ROWS, wp),
+                             functools.partial(win_index, delta=2),
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2, tile_h, TILE_W),
                              lambda g, i, j, sc, rb, cg=cg: (g // cg, 0, i, j),
                              memory_space=pltpu.VMEM),
@@ -306,7 +354,6 @@ def warp_pallas_v5(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
         ),
         out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.bfloat16),
         interpret=interpret,
-    )(scalars, rowblk, packed, packed, flow_pl)
+    )(scalars, rowblk, packed, packed, packed, flow_pl)
 
-    out = out[:, :, :h, :w]
-    return jnp.moveaxis(out, 1, -1).astype(out_dtype)
+    return out[:, :, :h, :w]

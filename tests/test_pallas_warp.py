@@ -140,8 +140,42 @@ def test_warp_v4_matches_xla(rng, n, h, w, c, cell, mag):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.parametrize("n,h,w,c,cell,mag", [
+    (1, 32, 128, 3, 32, 4.0),
+    (1, 64, 256, 3, 64, 2.5),
+    (1, 48, 256, 16, 48, 2.5),
+    (1, 40, 100, 2, 32, 3.0),
+    (1, 96, 256, 3, 32, 3.0),    # >2 row-window blocks in play
+])
+def test_warp_v5_matches_xla(rng, n, h, w, c, cell, mag):
+    """v5 reads taps at bf16 (the serving-path plane precision), so the
+    tolerance is bf16 quantization of the taps, not f32 exactness."""
+    from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5
+
+    img = jnp.asarray(rng.random((n, h, w, c), dtype=np.float32))
+    flow = smooth_flow(rng, n, h, w, cell, mag)
+    ref = warp_xla(img.astype(jnp.bfloat16), flow).astype(jnp.float32)
+    got = warp_pallas_v5(img, flow, interpret=True).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-2
+
+
+def test_warp_v5_block_boundary_anchor(rng):
+    """Regression: a tile whose min source row lands just under a 32-row
+    block boundary overflowed the old 2-block window at its bottom rows.
+    Uniform dy=-1 puts every tile's anchor at 32k-1."""
+    from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5
+
+    img = jnp.asarray(rng.random((1, 96, 128, 3), dtype=np.float32))
+    flow = jnp.zeros((1, 96, 128, 2), jnp.float32).at[..., 1].set(-1.25)
+    ref = warp_xla(img.astype(jnp.bfloat16), flow).astype(jnp.float32)
+    got = warp_pallas_v5(img, flow, interpret=True).astype(jnp.float32)
+    assert float(jnp.max(jnp.abs(got - ref))) < 1e-2
+
+
 def test_warp_auto_dispatch(rng):
-    """c>=8 routes to v4, small c to v3; both exact on smooth flow."""
+    """f32 inputs keep the exact v3/v4 split (f32 planes, atol 1e-5);
+    bf16 inputs (the serving path) route to v5, whose taps are bf16 by
+    design."""
     from rife_tpu.ops.pallas.warp import warp_pallas_auto
 
     for c in (3, 16):
@@ -150,3 +184,10 @@ def test_warp_auto_dispatch(rng):
         ref = warp_xla(img, flow)
         got = warp_pallas_auto(img, flow)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+        if c == 3:  # one interpret-mode v5 compile keeps the test cheap
+            got16 = warp_pallas_auto(img.astype(jnp.bfloat16), flow)
+            assert got16.dtype == jnp.bfloat16
+            ref16 = warp_xla(img.astype(jnp.bfloat16), flow).astype(jnp.float32)
+            assert float(jnp.max(jnp.abs(
+                got16.astype(jnp.float32) - ref16))) < 1e-2
