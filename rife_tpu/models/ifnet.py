@@ -35,7 +35,8 @@ from rife_tpu.models.refine import (
     init_unet,
     unet_apply,
 )
-from rife_tpu.ops import scale_by, warp, warp2
+from rife_tpu.ops import (from_planes, plane_down2, plane_up, scale_by,
+                          to_planes, warp, warp2, warp2_planes)
 
 
 @dataclass(frozen=True)
@@ -79,14 +80,35 @@ def init_ifblock(key, cin: int, c: int) -> dict:
     }
 
 
+def ifblock_conv_core(p, x, half_res: bool = False):
+    """The conv stack of one IFBlock: stem + 8 convblocks + lastconv
+    deconv.  x is the working-resolution NHWC input (flow already
+    concatenated); returns the raw 5ch `tmp` at half the working
+    resolution (or the working resolution for half_res).
+
+    (A phase-decomposed lastconv emitting planes directly was re-tried
+    on the plane-glue graph and measured neutral-to-slower than
+    deconv+to_planes at all three block shapes — tools/r3_exp10.py;
+    the tiled k4s2 deconv plus a 5ch relayout is already cheap.)"""
+    x = conv_prelu(x, p["conv0"][0], stride=1 if half_res else 2)
+    x = conv_prelu(x, p["conv0"][1], stride=2)
+    y = x
+    for cp in p["convblock"]:
+        y = conv_prelu(y, cp)
+    return conv_transpose2d(y + x, p["lastconv"])
+
+
 def ifblock_apply(p, x, flow, scale: float, half_res: bool = False,
                   prescaled: bool = False):
-    """One IFBlock (reference model/IFNet.py:39-51).
+    """One IFBlock (reference model/IFNet.py:39-51), NHWC in/out.
 
     Returns (flow_residual[4ch], mask_logit[1ch]) at input resolution.
     prescaled: the caller already built x (and flow) at the working
     resolution — skip the input downsample but keep the output-upsample
-    contract of `scale` (fast_level0 path).
+    contract of `scale`.  (The plane-major student loop in ifnet_apply
+    does its own scaling in the plane layout and calls
+    ifblock_conv_core directly; this wrapper serves the teacher block
+    and standalone use.)
     """
     if scale != 1 and not prescaled:
         x = scale_by(x, 1.0 / scale)
@@ -94,13 +116,7 @@ def ifblock_apply(p, x, flow, scale: float, half_res: bool = False,
         if not prescaled:
             flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
         x = jnp.concatenate([x, flow], -1)
-    x = conv_prelu(x, p["conv0"][0], stride=1 if half_res else 2)
-    x = conv_prelu(x, p["conv0"][1], stride=2)
-    y = x
-    for cp in p["convblock"]:
-        y = conv_prelu(y, cp)
-    x = y + x
-    tmp = conv_transpose2d(x, p["lastconv"])
+    tmp = ifblock_conv_core(p, x, half_res)
     up = scale if half_res else scale * 2
     if up != 1:
         tmp = scale_by(tmp, up)
@@ -146,63 +162,116 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             jnp.asarray(timestep, img0.dtype).reshape((-1, 1, 1, 1)), (n, h, w, 1)
         ).astype(img0.dtype)
 
+    # Plane-major student loop: every full-resolution small-C tensor
+    # (images-for-warping, flow, mask, warped frames) lives in the
+    # (N, C, H, W) plane layout, which keeps (H, W) dense in the TPU's
+    # (8,128) tile; NHWC (C in lanes) wastes up to 17x HBM bandwidth at
+    # these channel counts (docs/PERFORMANCE.md 'layout tax').  NHWC
+    # appears only where convs consume, at working resolution, via one
+    # relayout of the full concat.
+    #
     # fast_level0 is an inference-only approximation (merged[0] would
     # feed the distillation loss in training).
     fast0 = cfg.fast_level0 and gt is None and not cfg.half_res \
         and scale_list[1] != 1
-    flow = None
-    mask = None
-    warped0, warped1 = img0, img1
+    img0_pl = to_planes(img0)
+    img1_pl = to_planes(img1)
+    tplane_pl = to_planes(tplane) if tplane is not None else None
+    flow_pl = None
+    mask_pl = None
+    w0_pl, w1_pl = img0_pl, img1_pl
     flow_list, mask_list, merged = [], [], []
+
+    def block_out(p, xcat, s):
+        """Run the conv core and return (flow_d, mask_d) planes at full
+        resolution — the output upsample happens in plane layout."""
+        tmp = ifblock_conv_core(p, xcat, cfg.half_res)
+        up = s if cfg.half_res else s * 2
+        tmp_pl = to_planes(tmp)
+        if up != 1:
+            if float(up) == int(up):
+                tmp_pl = plane_up(tmp_pl, int(up))
+            else:  # non-integer contract: exactness over speed
+                tmp_pl = to_planes(scale_by(from_planes(tmp_pl), up))
+        return tmp_pl[:, :4] * up, tmp_pl[:, 4:5]
+
     for i in range(3):
         p = params[f"block{i}"]
-        if flow is None:
+        s = scale_list[i]
+        if flow_pl is None:
+            # block0: inputs are the NHWC-native images; the reference's
+            # single x(1/s) interpolate (2-tap for x4) applies.
             x = cat([img0, img1] + ([tplane] if tplane is not None else []), -1)
-            flow, mask = ifblock_apply(p, x, None, scale_list[i], cfg.half_res)
+            if s != 1:
+                x = scale_by(x, 1.0 / s)
+            flow_d_pl, mask_d_pl = block_out(p, x, s)
+            flow_pl, mask_pl = flow_d_pl, mask_d_pl
         elif fast0 and i == 1:
             # Build block1's input directly at its working resolution:
             # warp half-res images by half-res flow instead of warping
             # full-res and letting the block downsample the 17ch concat.
-            s = scale_list[1]
             inv = 1.0 / s
             img0_s = scale_by(img0, inv)
             img1_s = scale_by(img1, inv)
-            flow_s = scale_by(flow, inv) * inv
-            w0_s, w1_s = warp2(img0_s, img1_s, flow_s[..., 0:2], flow_s[..., 2:4])
-            parts = [img0_s, img1_s]
-            if tplane is not None:
-                parts.append(scale_by(tplane, inv))
-            parts += [w0_s, w1_s, scale_by(mask, inv)]
-            flow_d, mask_d = ifblock_apply(
-                p, cat(parts, -1), flow_s, scale_list[i], cfg.half_res,
-                prescaled=True)
-            flow = flow + flow_d
-            mask = mask + mask_d
+            if s == 2:
+                flow_s_pl = plane_down2(flow_pl) * inv
+                mask_s_pl = plane_down2(mask_pl)
+            else:
+                flow_s_pl = to_planes(scale_by(from_planes(flow_pl), inv)) * inv
+                mask_s_pl = to_planes(scale_by(from_planes(mask_pl), inv))
+            w0s_pl, w1s_pl = warp2_planes(
+                to_planes(img0_s), to_planes(img1_s),
+                flow_s_pl[:, 0:2], flow_s_pl[:, 2:4])
+            parts_pl = [to_planes(img0_s), to_planes(img1_s)]
+            if tplane_pl is not None:
+                parts_pl.append(to_planes(scale_by(tplane, inv)))
+            parts_pl += [w0s_pl, w1s_pl, mask_s_pl, flow_s_pl]
+            xcat = from_planes(cat(parts_pl, 1))
+            flow_d_pl, mask_d_pl = block_out(p, xcat, s)
+            flow_pl = flow_pl + flow_d_pl
+            mask_pl = mask_pl + mask_d_pl
         else:
-            x = cat(
-                [img0, img1]
-                + ([tplane] if tplane is not None else [])
-                + [warped0, warped1, mask],
-                -1,
-            )
-            flow_d, mask_d = ifblock_apply(p, x, flow, scale_list[i], cfg.half_res)
-            flow = flow + flow_d
-            mask = mask + mask_d
-        mask_list.append(jax.nn.sigmoid(mask))
-        flow_list.append(flow)
+            # Working-res input: downscale the 13(+1)ch stack and the
+            # flow in plane layout, then ONE planes->NHWC relayout of
+            # the full 17(+1)ch concat.  x0.5 bilinear == exact 2x2
+            # mean, so plane_down2 matches the reference interpolate.
+            parts_pl = [img0_pl, img1_pl]
+            if tplane_pl is not None:
+                parts_pl.append(tplane_pl)
+            parts_pl += [w0_pl, w1_pl, mask_pl]
+            stack_pl = cat(parts_pl, 1)
+            fl_pl = flow_pl
+            if s == 2:
+                stack_pl = plane_down2(stack_pl)
+                fl_pl = plane_down2(fl_pl) * 0.5
+            elif s != 1:
+                stack_pl = to_planes(scale_by(from_planes(stack_pl), 1.0 / s))
+                fl_pl = to_planes(scale_by(from_planes(fl_pl), 1.0 / s)) * (1.0 / s)
+            xcat = from_planes(cat([stack_pl, fl_pl.astype(stack_pl.dtype)], 1))
+            flow_d_pl, mask_d_pl = block_out(p, xcat, s)
+            flow_pl = flow_pl + flow_d_pl
+            mask_pl = mask_pl + mask_d_pl
+        mask_list.append(jax.nn.sigmoid(mask_pl))
+        flow_list.append(flow_pl)
         if fast0 and i == 0:
             # level-0 warps are consumed only by block1 (handled above at
             # half res) and by the dead merged[0] blend — placeholders
             # keep the pytree shape; XLA DCEs the blend.
-            merged.append((img0, img1))
+            merged.append((img0_pl, img1_pl))
         else:
-            warped0, warped1 = warp2(img0, img1, flow[..., 0:2], flow[..., 2:4])
-            merged.append((warped0, warped1))
+            w0_pl, w1_pl = warp2_planes(
+                img0_pl, img1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
+            merged.append((w0_pl, w1_pl))
 
     flow_teacher = None
     merged_teacher = None
     loss_distill = jnp.zeros((), img0.dtype)
     if gt is not None:
+        # Teacher + distillation run NHWC (training-only graphs).
+        warped0 = from_planes(w0_pl)
+        warped1 = from_planes(w1_pl)
+        mask = from_planes(mask_pl)
+        flow = from_planes(flow_pl)
         x = cat(
             [img0, img1]
             + ([tplane] if tplane is not None else [])
@@ -215,9 +284,16 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
         mask_teacher = jax.nn.sigmoid(mask + mask_d)
         merged_teacher = w0_t * mask_teacher + w1_t * (1 - mask_teacher)
 
+    # Blend in plane layout; convert API outputs to NHWC at the end
+    # (inference keeps only merged[-1], XLA DCEs the rest).
     for i in range(3):
-        merged[i] = merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i])
-        if gt is not None:
+        merged[i] = from_planes(
+            merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i]))
+    flow_list = [from_planes(f) for f in flow_list]
+    mask_list = [from_planes(m) for m in mask_list]
+
+    if gt is not None:
+        for i in range(3):
             # Privileged distillation: supervise student flow where the
             # teacher reconstructs gt better by >0.01 (IFNet.py:100-102).
             err_s = jnp.mean(jnp.abs(merged[i] - gt), axis=-1, keepdims=True)
@@ -234,11 +310,12 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
 
     if do_refine:
         c0, c1 = contextnet_apply_pair(
-            params["contextnet"], img0, img1, flow[..., 0:2], flow[..., 2:4], cfg.half_res
+            params["contextnet"], img0, img1, flow_pl[:, 0:2], flow_pl[:, 2:4],
+            cfg.half_res
         )
-        res = unet_apply(
-            params["unet"], img0, img1, warped0, warped1, mask, flow, c0, c1, cfg.half_res
-        )
+        x17 = from_planes(cat(
+            [img0_pl, img1_pl, w0_pl, w1_pl, mask_pl, flow_pl], 1))
+        res = unet_apply(params["unet"], x17, c0, c1, cfg.half_res)
         res = res * 2 - 1
         merged[2] = jnp.clip(merged[2] + res, 0.0, 1.0)
 

@@ -1,5 +1,7 @@
-from rife_tpu.ops.resize import resize_bilinear, scale_by
-from rife_tpu.ops.warp import warp, warp2, warp_xla, set_warp_impl, use_warp_impl
+from rife_tpu.ops.resize import resize_bilinear, scale_by, plane_up, plane_down2
+from rife_tpu.ops.warp import (warp, warp2, warp_xla, set_warp_impl,
+                               use_warp_impl, to_planes, from_planes,
+                               warp_planes, warp2_planes, warp_xla_planes)
 from rife_tpu.ops.pad import pad_to_multiple, pad_centered, Padding
 from rife_tpu.ops.ssim import ssim, ssim_matlab, msssim
 from rife_tpu.ops.pyramid import laplacian_pyramid, lap_loss
@@ -10,6 +12,13 @@ __all__ = [
     "warp",
     "warp2",
     "warp_xla",
+    "to_planes",
+    "from_planes",
+    "warp_planes",
+    "warp2_planes",
+    "warp_xla_planes",
+    "plane_up",
+    "plane_down2",
     "set_warp_impl",
     "use_warp_impl",
     "pad_to_multiple",

@@ -115,7 +115,13 @@ def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h):
     # block boundary.  Three 32-row blocks guarantee >= 65 rows above
     # ty_min: any tile whose source span fits 65 rows (tile_h=32 plus up
     # to 32 rows of in-tile flow variation) is covered exactly.
-    ty_min, _ = _rw(y0i, (tile_h, TILE_W))
+    # Second-stage reduce over the per-subtile mins (tiny array) instead
+    # of a fifth full-resolution reduce_window: min over a (tile_h,
+    # TILE_W) tile == min over that tile's (SUB_H, SUB_W) subtile mins.
+    wdim = (1, tile_h // SUB_H, TILE_W // SUB_W)
+    ty_min = lax.reduce_window(y_min, jnp.int32(2**30), lax.min,
+                               window_dimensions=wdim, window_strides=wdim,
+                               padding="VALID")
     pstart = jnp.minimum(ty_min, HP - SUB_H)
     max_blk = max(HP // WIN_ROWS - 3, 0)
     rowblk = jnp.clip(pstart // WIN_ROWS, 0, max_blk)

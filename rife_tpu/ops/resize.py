@@ -98,6 +98,64 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     return x
 
 
+def plane_up(p: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Integer-factor bilinear upsample on (N, C, H, W) planes, exact
+    torch-interpolate (align_corners=False) semantics.
+
+    Phase decomposition: for integer f each of the f output phases along
+    an axis is a *fixed* 2-tap lerp of the input, so the resize becomes
+    f shifted weighted sums interleaved by a minor-merge reshape — all
+    dense-lane work, no gathers (the gather-lerp NHWC path pays the
+    small-C layout tax; see docs/PERFORMANCE.md).  Validated exact vs
+    resize_bilinear for f in {2,4,8} (tools/r3_exp8.py)."""
+    if f == 1:
+        return p
+    for axis in (2, 3):
+        size = p.shape[axis]
+        srcs = (np.arange(f) + 0.5) / f - 0.5
+        i0 = np.floor(srcs).astype(int)        # -1 or 0
+        lam = (srcs - i0).astype(np.float32)
+        lo = jnp.concatenate([jax.lax.slice_in_dim(p, 0, 1, axis=axis),
+                              jax.lax.slice_in_dim(p, 0, size - 1, axis=axis)],
+                             axis)
+        hi = jnp.concatenate([jax.lax.slice_in_dim(p, 1, size, axis=axis),
+                              jax.lax.slice_in_dim(p, size - 1, size, axis=axis)],
+                             axis)
+        phases = []
+        for q in range(f):
+            a, b = (lo, p) if i0[q] < 0 else (p, hi)
+            wl = jnp.asarray(1.0 - lam[q], p.dtype)
+            phases.append(a * wl + b * (1 - wl))
+        st = jnp.stack(phases, axis + 1)       # (..., size, f, ...)
+        p = st.reshape(p.shape[:axis] + (size * f,) + p.shape[axis + 1:])
+    return p
+
+
+@jax.custom_vjp
+def plane_down2(p: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x2 mean pooling on (N, C, H, W) planes (the x0.5 bilinear
+    case) via a dense reduce_window."""
+    s = jax.lax.reduce_window(
+        p, jnp.zeros((), p.dtype), jax.lax.add,
+        window_dimensions=(1, 1, 2, 2), window_strides=(1, 1, 2, 2),
+        padding="VALID")
+    return s * jnp.asarray(0.25, p.dtype)
+
+
+def _plane_down2_fwd(p):
+    return plane_down2(p), None
+
+
+def _plane_down2_bwd(_, g):
+    g4 = g * jnp.asarray(0.25, g.dtype)
+    n, c, h, w = g4.shape
+    gi = jnp.broadcast_to(g4[:, :, :, None, :, None], (n, c, h, 2, w, 2))
+    return (gi.reshape(n, c, h * 2, w * 2),)
+
+
+plane_down2.defvjp(_plane_down2_fwd, _plane_down2_bwd)
+
+
 def scale_by(x: jnp.ndarray, factor: float) -> jnp.ndarray:
     """Resize by a scale factor (output size = floor(in * factor))."""
     h_axis = x.ndim - 3

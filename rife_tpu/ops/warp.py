@@ -22,6 +22,7 @@ from __future__ import annotations
 import contextlib
 import contextvars
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -64,6 +65,106 @@ def warp2(img_a: jnp.ndarray, img_b: jnp.ndarray, flow_a: jnp.ndarray,
     both = warp(jnp.concatenate([img_a, img_b], 0),
                 jnp.concatenate([flow_a, flow_b], 0))
     return both[:n], both[n:]
+
+
+def to_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC -> NCHW.  The plane layout keeps (H, W) in the (8,128) tile,
+    so full-resolution tensors with small C (images 3ch, flow 4ch, mask
+    1ch) are lane-dense; in NHWC they waste up to 17x HBM bandwidth
+    (measured, docs/PERFORMANCE.md 'layout tax')."""
+    return jnp.moveaxis(x, -1, 1)
+
+
+def from_planes(p: jnp.ndarray) -> jnp.ndarray:
+    """NCHW -> NHWC (for conv stems and host I/O)."""
+    return jnp.moveaxis(p, 1, -1)
+
+
+def warp_planes(img_pl: jnp.ndarray, flow_pl: jnp.ndarray) -> jnp.ndarray:
+    """Plane-layout warp: (N, C, H, W) x (N, 2, H, W) -> (N, C, H, W).
+
+    Same dispatch contract as `warp`; the Pallas path skips the
+    per-call NHWC<->NCHW relayouts entirely (the kernels are
+    plane-native internally)."""
+    if _WARP_IMPL.get() == "pallas":
+        return warp_planes_pallas_diff(img_pl, flow_pl)
+    return warp_xla_planes(img_pl, flow_pl)
+
+
+def warp2_planes(img_a: jnp.ndarray, img_b: jnp.ndarray, flow_a: jnp.ndarray,
+                 flow_b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Plane-layout warp2: one kernel launch for an img0/img1 pair."""
+    n = img_a.shape[0]
+    both = warp_planes(jnp.concatenate([img_a, img_b], 0),
+                       jnp.concatenate([flow_a, flow_b], 0))
+    return both[:n], both[n:]
+
+
+def warp_xla_planes(img_pl: jnp.ndarray, flow_pl: jnp.ndarray) -> jnp.ndarray:
+    """Exact gather warp on the plane layout (golden / CPU / VJP path).
+
+    img_pl:  (N, C, H, W);  flow_pl: (N, 2, H, W) pixel units
+    ([:, 0] = dx, [:, 1] = dy), border-clamped bilinear sampling —
+    identical semantics to `warp_xla` modulo layout."""
+    n, c, h, w = img_pl.shape
+    dtype = img_pl.dtype
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    ix = jnp.clip(xs[None] + flow_pl[:, 0].astype(jnp.float32), 0.0, w - 1)
+    iy = jnp.clip(ys[None] + flow_pl[:, 1].astype(jnp.float32), 0.0, h - 1)
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = (ix - x0).astype(dtype)[:, None]
+    fy = (iy - y0).astype(dtype)[:, None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+
+    flat = img_pl.reshape(n, c, h * w)
+
+    def gather(yi, xi):
+        lin = (yi * w + xi).reshape(n, 1, h * w)
+        lin = jnp.broadcast_to(lin, (n, c, h * w))
+        return jnp.take_along_axis(flat, lin, axis=2).reshape(n, c, h, w)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _planes_pallas(img_pl, flow_pl):
+    from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5_pl
+
+    return warp_pallas_v5_pl(img_pl, flow_pl).astype(img_pl.dtype)
+
+
+def _planes_diff_fwd(img_pl, flow_pl):
+    return _planes_pallas(img_pl, flow_pl), (img_pl, flow_pl)
+
+
+def _planes_diff_bwd(res, g):
+    img_pl, flow_pl = res
+    _, vjp = jax.vjp(warp_xla_planes, img_pl, flow_pl)
+    return tuple(vjp(g.astype(img_pl.dtype)))
+
+
+@jax.custom_vjp
+def warp_planes_pallas_diff(img_pl: jnp.ndarray,
+                            flow_pl: jnp.ndarray) -> jnp.ndarray:
+    """Pallas plane warp with gradients: v5 plane kernel forward,
+    exact-XLA plane backward."""
+    return _planes_pallas(img_pl, flow_pl)
+
+
+warp_planes_pallas_diff.defvjp(_planes_diff_fwd, _planes_diff_bwd)
 
 
 def warp_xla(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:

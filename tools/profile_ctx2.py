@@ -35,13 +35,13 @@ def bench(name, fn, *args):
     print(f"{name}: {best*1000/K:.2f} ms", flush=True)
 
 # ctx convs only (noop warp)
-orig = refine_mod.warp
-refine_mod.warp = lambda im, fl: im + fl[..., :1].astype(im.dtype) * 0
+orig = refine_mod.warp_planes
+refine_mod.warp_planes = lambda im, fl: im + fl[:, :1].astype(im.dtype) * 0
 def ctx_convs(x, b, f):
     cs0, cs1 = refine_mod.contextnet_apply_pair(params["contextnet"], x, b, f[..., :2], f[..., 2:4])
     return sum(jnp.mean(t) for t in cs0 + cs1)
 bench("ctx convs only (noop warp)", ctx_convs, img0, img1, flow4)
-refine_mod.warp = orig
+refine_mod.warp_planes = orig
 
 # ctx full with pallas warp (smooth flow)
 with use_warp_impl("pallas"):

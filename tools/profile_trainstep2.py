@@ -36,15 +36,19 @@ batch = {
 
 def run(tag, compute_dtype, fwd_only=False, fake_warp=False):
     saved = (ops.warp, ops.warp2, ifnet_mod.warp, ifnet_mod.warp2,
-             refine_mod.warp)
+             ifnet_mod.warp2_planes, refine_mod.warp_planes)
     if fake_warp:
         def _w(img, flow):
             return jnp.roll(img, (1, 1), axis=(1, 2)) + 0 * flow[..., :1]
         def _w2(i0, i1, f0, f1):
             return _w(i0, f0), _w(i1, f1)
+        def _wp(img, flow):
+            return jnp.roll(img, (1, 1), axis=(2, 3)) + 0 * flow[:, :1]
+        def _wp2(i0, i1, f0, f1):
+            return _wp(i0, f0), _wp(i1, f1)
         ops.warp = _w; ops.warp2 = _w2
         ifnet_mod.warp = _w; ifnet_mod.warp2 = _w2
-        refine_mod.warp = _w
+        ifnet_mod.warp2_planes = _wp2; refine_mod.warp_planes = _wp
     try:
         state, tx, _ = train_init(d, total_steps=1000)
         if fwd_only:
@@ -88,7 +92,7 @@ def run(tag, compute_dtype, fwd_only=False, fake_warp=False):
         print(f"{tag}: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
     finally:
         (ops.warp, ops.warp2, ifnet_mod.warp, ifnet_mod.warp2,
-         refine_mod.warp) = saved
+         ifnet_mod.warp2_planes, refine_mod.warp_planes) = saved
 
 
 run("f32 full step", jnp.float32)
