@@ -191,3 +191,67 @@ def test_warp_auto_dispatch(rng):
             ref16 = warp_xla(img.astype(jnp.bfloat16), flow).astype(jnp.float32)
             assert float(jnp.max(jnp.abs(
                 got16.astype(jnp.float32) - ref16))) < 1e-2
+
+
+def test_warp_xla_planes_matches_nhwc(rng):
+    """Plane-layout exact warp == NHWC exact warp (layout only)."""
+    from rife_tpu.ops import warp_xla_planes
+
+    n, h, w, c = 2, 24, 96, 5
+    img = jnp.asarray(rng.random((n, h, w, c), dtype=np.float32))
+    flow = smooth_flow(rng, n, h, w, 24, 3.0) + 0.41
+    flow4 = jnp.concatenate([flow, flow], -1)[..., :2]
+    ref = warp_xla(img, flow4)
+    got = warp_xla_planes(jnp.moveaxis(img, -1, 1), jnp.moveaxis(flow4, -1, 1))
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(got, 1, -1)), np.asarray(ref), atol=1e-5)
+
+
+def test_warp_planes_pallas_diff_fwd_and_grad(rng):
+    """Plane-native v5 wrapper: interpret forward matches the exact
+    plane warp at bf16 tolerance; gradients are the exact-XLA ones
+    (this is the path the plane-major student loop trains through)."""
+    from rife_tpu.ops.warp import warp_planes_pallas_diff, warp_xla_planes
+
+    n, h, w, c = 1, 32, 128, 3
+    img_pl = jnp.asarray(
+        rng.random((n, c, h, w), dtype=np.float32))
+    flow = smooth_flow(rng, n, h, w, 32, 2.0) + 0.37
+    flow_pl = jnp.moveaxis(flow, -1, 1)
+
+    out = warp_planes_pallas_diff(img_pl, flow_pl)
+    ref = warp_xla_planes(img_pl, flow_pl)
+    assert float(jnp.max(jnp.abs(out - ref))) < 0.02  # bf16 taps
+
+    # Linear loss: the cotangent is primal-independent, so the exact-XLA
+    # VJP must match to float tolerance even though the Pallas forward
+    # carries bf16 tap noise.
+    wts = jnp.asarray(rng.random((n, c, h, w), dtype=np.float32))
+
+    def loss_p(im, fl):
+        return jnp.sum(wts * warp_planes_pallas_diff(im, fl))
+
+    def loss_x(im, fl):
+        return jnp.sum(wts * warp_xla_planes(im, fl))
+
+    gp_img, gp_flow = jax.grad(loss_p, argnums=(0, 1))(img_pl, flow_pl)
+    gx_img, gx_flow = jax.grad(loss_x, argnums=(0, 1))(img_pl, flow_pl)
+    np.testing.assert_allclose(np.asarray(gp_img), np.asarray(gx_img),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_flow), np.asarray(gx_flow),
+                               atol=1e-4)
+
+
+def test_warp2_planes_pair_equivalence(rng):
+    """warp2_planes == two warp_planes calls (batch-concat contract)."""
+    from rife_tpu.ops import warp2_planes
+    from rife_tpu.ops.warp import warp_xla_planes
+
+    n, h, w = 1, 16, 128
+    i0 = jnp.asarray(rng.random((n, 3, h, w), dtype=np.float32))
+    i1 = jnp.asarray(rng.random((n, 3, h, w), dtype=np.float32))
+    f0 = jnp.moveaxis(smooth_flow(rng, n, h, w, 16, 1.5), -1, 1)
+    f1 = jnp.moveaxis(smooth_flow(rng, n, h, w, 16, 1.5), -1, 1)
+    w0, w1 = warp2_planes(i0, i1, f0, f1)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(warp_xla_planes(i0, f0)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(warp_xla_planes(i1, f1)), atol=1e-5)
