@@ -85,10 +85,18 @@ def warp_planes(img_pl: jnp.ndarray, flow_pl: jnp.ndarray) -> jnp.ndarray:
 
     Same dispatch contract as `warp`; the Pallas path skips the
     per-call NHWC<->NCHW relayouts entirely (the kernels are
-    plane-native internally)."""
+    plane-native internally).
+
+    The XLA path round-trips through the NHWC formulation instead of
+    using warp_xla_planes: the results are bit-identical (same blend
+    arithmetic per element), but NHWC gathers vectorize across C and
+    their scatter-add transposes are the fast path on this XLA — the
+    (N, C, H*W) per-channel gather/scatter lowering is pathological in
+    the backward (measured 1.9 s/step vs 0.26 at the reference train
+    config, tools/r3_exp12.py vs profile_trainstep2.py)."""
     if _WARP_IMPL.get() == "pallas":
         return warp_planes_pallas_diff(img_pl, flow_pl)
-    return warp_xla_planes(img_pl, flow_pl)
+    return to_planes(warp_xla(from_planes(img_pl), from_planes(flow_pl)))
 
 
 def warp2_planes(img_a: jnp.ndarray, img_b: jnp.ndarray, flow_a: jnp.ndarray,
@@ -151,8 +159,17 @@ def _planes_diff_fwd(img_pl, flow_pl):
 
 
 def _planes_diff_bwd(res, g):
+    # Route the exact-XLA backward through the NHWC formulation: the
+    # plane-layout (N, C, H*W) gather/scatter lowering is pathological
+    # in this XLA's transpose (see warp_planes docstring); the two are
+    # mathematically identical and the moveaxis glue is cheap at any
+    # training resolution.
     img_pl, flow_pl = res
-    _, vjp = jax.vjp(warp_xla_planes, img_pl, flow_pl)
+
+    def _nhwc(i_pl, f_pl):
+        return to_planes(warp_xla(from_planes(i_pl), from_planes(f_pl)))
+
+    _, vjp = jax.vjp(_nhwc, img_pl, flow_pl)
     return tuple(vjp(g.astype(img_pl.dtype)))
 
 
