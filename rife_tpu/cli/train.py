@@ -58,8 +58,9 @@ def main(argv=None):
                     help="cap validation batches (default: full 5%% split)")
     ap.add_argument("--warp_impl", type=str, default="auto",
                     choices=["auto", "xla", "pallas"],
-                    help="auto=xla (faster at 224^2 crops, measured); "
-                         "pallas for large-resolution fine-tuning")
+                    help="auto=pallas on TPU (kernel-grad VJP, 124 vs "
+                         "289 ms/step measured, convergence-matched); "
+                         "xla = exact reference gradients")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -104,14 +105,18 @@ def main(argv=None):
         )
         print(f"resumed from {args.resume} at step {int(state.step)}")
 
-    # Warp impl: measured 459 vs 415 ms/step at the reference config
-    # (batch 16, 224^2 crops) — the Pallas forward LOSES at training
-    # crop sizes (per-call scalar/pad overhead beats the gather win), so
-    # training defaults to the exact XLA warp.  --warp_impl pallas flips
-    # to the Pallas-forward/exact-XLA-VJP path for large-res fine-tunes.
-    if args.warp_impl != "auto":
-        from rife_tpu.ops import set_warp_impl
+    # Warp impl: the Pallas kernel-grad VJP (fwd emits dI/dx, dI/dy;
+    # d/img = flow-stopped scatter adjoint) measures 124.2 vs 288.6
+    # ms/step bf16 at the reference config (tools/r3_exp23.py) with a
+    # convergence curve matching the exact path to 3 decimals
+    # (r3_exp24 vs r3_exp17) — so auto picks it on TPU.  --warp_impl
+    # xla restores the reference's exact gradients (d/flow from f32
+    # corner taps instead of the kernel's bf16 taps).
+    from rife_tpu.ops import set_warp_impl
 
+    if args.warp_impl == "auto":
+        set_warp_impl("pallas" if jax.default_backend() == "tpu" else "xla")
+    else:
         set_warp_impl(args.warp_impl)
 
     compute_dtype = jnp.dtype(args.dtype)

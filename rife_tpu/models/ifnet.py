@@ -36,7 +36,7 @@ from rife_tpu.models.refine import (
     unet_apply,
 )
 from rife_tpu.ops import (from_planes, plane_down2, plane_up, scale_by,
-                          to_planes, warp, warp2, warp2_planes)
+                          to_planes, warp2_planes)
 
 
 @dataclass(frozen=True)
@@ -280,7 +280,12 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
         )
         flow_d, mask_d = ifblock_apply(params["block_tea"], x, flow, 1.0, cfg.half_res)
         flow_teacher = flow + flow_d
-        w0_t, w1_t = warp2(img0, img1, flow_teacher[..., 0:2], flow_teacher[..., 2:4])
+        # Plane-path warps so the pallas impl's kernel-grad VJP covers
+        # the teacher pair too (identical values on the xla impl).
+        ft_pl = to_planes(flow_teacher)
+        w0t_pl, w1t_pl = warp2_planes(img0_pl, img1_pl,
+                                      ft_pl[:, 0:2], ft_pl[:, 2:4])
+        w0_t, w1_t = from_planes(w0t_pl), from_planes(w1t_pl)
         mask_teacher = jax.nn.sigmoid(mask + mask_d)
         merged_teacher = w0_t * mask_teacher + w1_t * (1 - mask_teacher)
 

@@ -34,8 +34,9 @@ TILE_ROWS = 16
 
 
 def conv2d_tiled(x: jnp.ndarray, w: jnp.ndarray, stride: int, precision,
-                 T: int = TILE_ROWS) -> jnp.ndarray:
+                 T: int | None = None) -> jnp.ndarray:
     """3x3 pad-1 stride-{1,2} conv with H folded into batch (exact)."""
+    T = T or TILE_ROWS
     n, h, wd, c = x.shape
     s = stride
     Ti = T * s
@@ -61,9 +62,10 @@ def conv2d_tiled(x: jnp.ndarray, w: jnp.ndarray, stride: int, precision,
 
 
 def conv_transpose2d_tiled(x: jnp.ndarray, w: jnp.ndarray, precision,
-                           T: int = TILE_ROWS) -> jnp.ndarray:
+                           T: int | None = None) -> jnp.ndarray:
     """k4/s2/pad-1 transposed conv (pre-flipped weights, see layers.py)
     with H folded into batch (exact)."""
+    T = T or TILE_ROWS
     n, h, wd, c = x.shape
     nt = -(-h // T)
     hp = nt * T

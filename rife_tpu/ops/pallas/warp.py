@@ -39,11 +39,14 @@ signal.  win_w=384 removes those escapes at +56% image-warp cost
 Correctness tests run the exact XLA warp; rife_tpu.ops.warp dispatches
 to this kernel on TPU.
 
-Training: `warp_pallas_diff` wraps the kernel in a custom VJP whose
-backward runs the exact XLA warp's gradient (gather transpose for
-d_img, corner-difference gathers for d_flow) — mathematically the
-gradient of the same function wherever the window contract holds, so
-training forwards ride the fast kernel while gradients stay exact.
+Training: `warp_pallas_diff` (NHWC) wraps the kernel in a custom VJP
+whose backward runs the exact XLA warp's gradient.  The plane-layout
+`warp_planes_pallas_diff` (ops/warp.py) — the path the plane-major
+student loop and the teacher pair actually train through — instead
+takes d/flow from the v5 kernel's emitted dI/dx, dI/dy
+(emit_grads=True, one fused pass) and d/img from the flow-stopped
+scatter adjoint: 288.6 -> 124.2 ms/step at the reference config
+(tools/r3_exp23.py).
 """
 from __future__ import annotations
 

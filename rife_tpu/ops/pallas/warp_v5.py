@@ -60,15 +60,17 @@ from rife_tpu.ops.pallas.warp import (
 WIN_ROWS = 32  # half-window granularity (two consecutive blocks per program)
 
 
-def _tile_scalars_v5(flow, H, W, HP, WP, win_w, tile_h):
+def _tile_scalars_v5(flow, H, W, HP, WP, win_w, tile_h, tile_w=TILE_W):
     """Per-(8,128)-subtile [ystart, wx, y2, x_lo, x_hi] (v4 layout, with
     x_hi NOT extended by +1 — the packed tap covers the neighbour) plus a
     per-program row-block anchor for the window index_map."""
     y0i, x0i, _, _ = _source_coords(flow, H, W)
-    return _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h)
+    return _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h,
+                                         tile_w)
 
 
-def _tile_scalars_v5_pl(flow_pl, H, W, HP, WP, win_w, tile_h):
+def _tile_scalars_v5_pl(flow_pl, H, W, HP, WP, win_w, tile_h,
+                        tile_w=TILE_W):
     """Same scalars computed from (N, 2, HP, WP) flow planes — the
     reduce_windows then run on dense (H, W)-tiled data instead of the
     2-lane-sparse NHWC layout (measured 0.65 ms -> ~0.1 ms per call at
@@ -80,10 +82,12 @@ def _tile_scalars_v5_pl(flow_pl, H, W, HP, WP, win_w, tile_h):
     iy = jnp.clip(ys + flow_pl[:, 1].astype(jnp.float32), 0.0, H - 1)
     x0i = jnp.floor(ix).astype(jnp.int32)
     y0i = jnp.floor(iy).astype(jnp.int32)
-    return _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h)
+    return _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h,
+                                         tile_w)
 
 
-def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h):
+def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h,
+                                  tile_w=TILE_W):
 
     def _rw(x, wdim):
         mn = lax.reduce_window(x, jnp.int32(2**30), lax.min,
@@ -99,10 +103,14 @@ def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h):
 
     ystart = jnp.minimum(y_min, HP - SUB_H)
     wx = jnp.clip((x_min // SUB_W) * SUB_W, 0, max(WP - win_w, 0))
-    y2 = ((y_max + 1 >= ystart + SUB_H).astype(jnp.int32)
-          + (y_max + 1 >= ystart + 2 * SUB_H).astype(jnp.int32))
+    # Weighted window rows are [0, nrows): source rows y_min..y_max plus
+    # the +1 vertical tap, relative to ystart.  Almost every subtile has
+    # a source span of ~8 rows (flows are smooth), i.e. nrows ~ 9-10 —
+    # the kernel predicates its row chunks on this instead of running
+    # whole 8-row pieces (16 row-gathers where ~10 carry weight).
+    nrows = jnp.clip(y_max + 2 - ystart, 1, 3 * SUB_H)
     sc = jnp.stack([
-        ystart.reshape(-1), wx.reshape(-1), y2.reshape(-1),
+        ystart.reshape(-1), wx.reshape(-1), nrows.reshape(-1),
         x_min.reshape(-1), x_max.reshape(-1),
     ]).astype(jnp.int32)
 
@@ -118,7 +126,7 @@ def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h):
     # Second-stage reduce over the per-subtile mins (tiny array) instead
     # of a fifth full-resolution reduce_window: min over a (tile_h,
     # TILE_W) tile == min over that tile's (SUB_H, SUB_W) subtile mins.
-    wdim = (1, tile_h // SUB_H, TILE_W // SUB_W)
+    wdim = (1, tile_h // SUB_H, tile_w // SUB_W)
     ty_min = lax.reduce_window(y_min, jnp.int32(2**30), lax.min,
                                window_dimensions=wdim, window_strides=wdim,
                                padding="VALID")
@@ -129,8 +137,12 @@ def _tile_scalars_v5_from_corners(y0i, x0i, HP, WP, win_w, tile_h):
 
 
 def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
-                    out_ref, acc_ref, *, H, W, HP, WP, win_w, cb, cg, nsh,
-                    nsw, nth, ntw, tile_h, skip):
+                    *refs, H, W, HP, WP, win_w, cb, cg, nsh,
+                    nsw, nth, ntw, tile_h, tile_w, skip, emit_grads=False):
+    if emit_grads:
+        out_ref, dx_ref, dy_ref, acc_ref, accx_ref, accy_ref = refs
+    else:
+        out_ref, acc_ref = refs
     g0 = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -141,13 +153,13 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
     win_base = rb_ref[(n * nth + ti) * ntw + tj] * WIN_ROWS
 
     for s_i in range(tile_h // SUB_H):
-        for s_j in range(TILE_W // SUB_W):
+        for s_j in range(tile_w // SUB_W):
             si = ti * (tile_h // SUB_H) + s_i
-            sj = tj * (TILE_W // SUB_W) + s_j
+            sj = tj * (tile_w // SUB_W) + s_j
             flat = (n * nsh + si) * nsw + sj
             ystart = sc_ref[0, flat]
             wx = pl.multiple_of(sc_ref[1, flat], SUB_W)
-            y2 = sc_ref[2, flat]
+            nr = sc_ref[2, flat]
             x_lo = sc_ref[3, flat]
             x_hi = sc_ref[4, flat]
 
@@ -179,6 +191,9 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
                    slice(s_j * SUB_W, (s_j + 1) * SUB_W))
             for c in range(cb):
                 acc_ref[c] = jnp.zeros((SUB_H, SUB_W), jnp.float32)
+                if emit_grads:
+                    accx_ref[c] = jnp.zeros((SUB_H, SUB_W), jnp.float32)
+                    accy_ref[c] = jnp.zeros((SUB_H, SUB_W), jnp.float32)
 
             def load8(row):
                 """8 aligned rows [row, row+8) from the 96-row A|B|C
@@ -204,15 +219,27 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
                               imgB_ref[0, c, pl.ds(offB, SUB_H), xsl],
                               imgC_ref[0, c, pl.ds(offC, SUB_H), xsl]))
 
-            def piece(m):
+            def piece(m, s_lo, s_hi):
+                """Accumulate window rows [8m+s_lo, 8m+s_hi)."""
                 la = jnp.minimum(ya0 + SUB_H * m, HP - SUB_H)
                 lb = jnp.minimum(ya0 + SUB_H * (m + 1), HP - SUB_H)
                 sel_a = load8(la)
                 sel_b = load8(lb)
-                w_rows = [
-                    jnp.maximum(0.0, 1.0 - jnp.abs(SUB_H * m + s - yrel))
-                    for s in range(SUB_H)
-                ]
+                w_rows = {
+                    s: jnp.maximum(0.0, 1.0 - jnp.abs(SUB_H * m + s - yrel))
+                    for s in range(s_lo, s_hi)
+                }
+                if emit_grads:
+                    # d w_row / d yrel as the two-sided indicator (+1 for
+                    # rows in (yrel, yrel+1], -1 for (yrel-1, yrel]), so
+                    # fy == 0 still yields d/dfy = v[y0+1] - v[y0].
+                    def _dw(s, m=m):
+                        delta = SUB_H * m + s - yrel
+                        up = jnp.logical_and(delta > 0.0, delta <= 1.0)
+                        dn = jnp.logical_and(delta > -1.0, delta <= 0.0)
+                        return (up.astype(jnp.float32)
+                                - dn.astype(jnp.float32))
+                    dw_rows = {s: _dw(s) for s in range(s_lo, s_hi)}
                 for b in range(n_blk):
                     blk_on = jnp.logical_and(wx + b * SUB_W <= x_hi,
                                              wx + (b + 1) * SUB_W - 1 >= x_lo)
@@ -232,7 +259,10 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
                                 jnp.take_along_axis(a, idx_a, axis=0),
                                 jnp.take_along_axis(bch, idx_b, axis=0))
                             acc = acc_ref[c]
-                            for s in range(SUB_H):
+                            if emit_grads:
+                                accx = accx_ref[c]
+                                accy = accy_ref[c]
+                            for s in range(s_lo, s_hi):
                                 src8 = jnp.broadcast_to(
                                     merged[s:s + 1, :], (SUB_H, SUB_W))
                                 g = jnp.take_along_axis(src8, lane_off, axis=1)
@@ -241,21 +271,38 @@ def _warp_kernel_v5(sc_ref, rb_ref, imgA_ref, imgB_ref, imgC_ref, flow_ref,
                                     u << 16, jnp.float32)
                                 v1 = lax.bitcast_convert_type(
                                     (u >> 16) << 16, jnp.float32)
-                                acc = acc + (v0 * m0 + v1 * m1) * w_rows[s]
+                                blend = v0 * m0 + v1 * m1
+                                acc = acc + blend * w_rows[s]
+                                if emit_grads:
+                                    accx = accx + (v1 - v0) * (m0 + m1) \
+                                        * w_rows[s]
+                                    accy = accy + blend * dw_rows[s]
                             acc_ref[c] = acc
+                            if emit_grads:
+                                accx_ref[c] = accx
+                                accy_ref[c] = accy
 
-            piece(0)
+            # Whole-piece predication on nr (= weighted rows [0, nr)).
+            # A finer 2-row/6-row chunking of piece 1 was measured
+            # SLOWER full-graph (62.9 vs 58.8 ms/iter, tools/r3_exp22):
+            # each chunk re-does the window loads + row merges, and
+            # in-model flows hit nr >= 11 often enough that the doubled
+            # merge work beats the saved row-gathers.
+            piece(0, 0, SUB_H)
 
-            @pl.when(y2 >= 1)
+            @pl.when(nr >= SUB_H + 1)
             def _p1():
-                piece(1)
+                piece(1, 0, SUB_H)
 
-            @pl.when(y2 >= 2)
+            @pl.when(nr >= 2 * SUB_H + 1)
             def _p2():
-                piece(2)
+                piece(2, 0, SUB_H)
 
             for c in range(cb):
                 out_ref[(0, c) + osl] = acc_ref[c].astype(out_ref.dtype)
+                if emit_grads:
+                    dx_ref[(0, c) + osl] = accx_ref[c].astype(dx_ref.dtype)
+                    dy_ref[(0, c) + osl] = accy_ref[c].astype(dy_ref.dtype)
 
 
 def _pack_pairs(planes_bf16: jnp.ndarray) -> jnp.ndarray:
@@ -285,25 +332,36 @@ def warp_pallas_v5(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("win_w", "interpret", "skip",
-                                             "tile_h"))
+                                             "tile_h", "emit_grads"))
 def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
                       win_w: int = 256, interpret: bool = False,
-                      skip: bool | None = None,
-                      tile_h: int = TILE_H) -> jnp.ndarray:
+                      skip: bool | None = None, tile_h: int = TILE_H,
+                      emit_grads: bool = False):
     """Plane-native v5 warp: (N, C, H, W) x (N, 2, H, W) -> (N, C, H, W)
     bf16.  The plane-major inference glue calls this directly so no
     NHWC<->NCHW relayout (~0.8 ms each at 720p, tools/r3_exp8.py) ever
-    enters the graph; scalar prep also runs on the dense planes."""
+    enters the graph; scalar prep also runs on the dense planes.
+
+    emit_grads: additionally return (dIdx, dIdy) — the per-pixel
+    derivatives of the warped output w.r.t. the sampling coordinates
+    (taps at bf16, same window contract) — so a training VJP needs no
+    re-gathering: d_flow = sum_c g * dId{x,y}, d_img = the scatter.
+    Returns (out, dIdx, dIdy) in that case."""
     n, c, h, w = planes_in.shape
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
 
     hp = max(_ceil_to(h, tile_h), 3 * WIN_ROWS)
-    wp = _ceil_to(w, TILE_W)
+    # Program width: 2 lane-blocks when W divides 256; otherwise 1 so
+    # narrow levels (e.g. 320/640-wide feature maps) don't pad 20-60%
+    # of their output subtiles into the kernel grid.
+    tile_w = TILE_W if w % TILE_W == 0 else SUB_W
+    wp = _ceil_to(w, tile_w)
     win_w = min(win_w, wp)
 
-    # Window residency: 3 x WIN_ROWS x wp f32 per channel (+ out tile).
-    per_cb = 3 * WIN_ROWS * wp * 4 + tile_h * TILE_W * 4
+    # Window residency: 3 x WIN_ROWS x wp f32 per channel (+ out tiles).
+    n_out = 3 if emit_grads else 1
+    per_cb = 3 * WIN_ROWS * wp * 4 + n_out * tile_h * tile_w * 4
     cb = max(1, min(c, _VMEM_IMG_BUDGET // per_cb))
     while c % cb:
         cb -= 1
@@ -319,19 +377,26 @@ def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
     packed = _pack_pairs(planes)
 
     scalars, rowblk = _tile_scalars_v5_pl(
-        flow_pl, h, w, hp, wp, win_w, tile_h)
+        flow_pl, h, w, hp, wp, win_w, tile_h, tile_w)
 
     nth = hp // tile_h
-    ntw = wp // TILE_W
+    ntw = wp // tile_w
     grid = (n * cg, nth, ntw)
     kernel = functools.partial(
         _warp_kernel_v5, H=h, W=w, HP=hp, WP=wp, win_w=win_w, cb=cb, cg=cg,
         nsh=hp // SUB_H, nsw=wp // SUB_W, nth=nth, ntw=ntw, tile_h=tile_h,
-        skip=skip)
+        tile_w=tile_w, skip=skip, emit_grads=emit_grads)
 
     def win_index(g, i, j, sc, rb, *, cg=cg, nth=nth, ntw=ntw, delta=0):
         nn = g // cg
         return (nn, g % cg, rb[(nn * nth + i) * ntw + j] + delta, 0)
+
+    out_spec = pl.BlockSpec(
+        (1, cb, tile_h, tile_w),
+        lambda g, i, j, sc, rb, cg=cg: (g // cg, g % cg, i, j),
+        memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((n, c, hp, wp), jnp.bfloat16)
+    acc_shape = pltpu.VMEM((cb, SUB_H, SUB_W), jnp.float32)
 
     out = pl.pallas_call(
         kernel,
@@ -348,18 +413,17 @@ def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
                 pl.BlockSpec((1, cb, WIN_ROWS, wp),
                              functools.partial(win_index, delta=2),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, tile_h, TILE_W),
+                pl.BlockSpec((1, 2, tile_h, tile_w),
                              lambda g, i, j, sc, rb, cg=cg: (g // cg, 0, i, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(
-                (1, cb, tile_h, TILE_W),
-                lambda g, i, j, sc, rb, cg=cg: (g // cg, g % cg, i, j),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((cb, SUB_H, SUB_W), jnp.float32)],
+            out_specs=[out_spec] * n_out if emit_grads else out_spec,
+            scratch_shapes=[acc_shape] * n_out,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, c, hp, wp), jnp.bfloat16),
+        out_shape=[out_sds] * 3 if emit_grads else out_sds,
         interpret=interpret,
     )(scalars, rowblk, packed, packed, packed, flow_pl)
 
+    if emit_grads:
+        return tuple(o[:, :, :h, :w] for o in out)
     return out[:, :, :h, :w]

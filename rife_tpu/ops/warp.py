@@ -155,29 +155,58 @@ def _planes_pallas(img_pl, flow_pl):
 
 
 def _planes_diff_fwd(img_pl, flow_pl):
-    return _planes_pallas(img_pl, flow_pl), (img_pl, flow_pl)
+    from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5_pl
+
+    # One kernel pass also emits dI/dx, dI/dy (the derivatives of the
+    # warped value w.r.t. the sampling coordinate), so the backward
+    # never re-gathers: XLA's per-pixel gather costs ~8x the kernel
+    # (209 vs 26 ms fwd+loss at the reference train config,
+    # tools/r3_exp12/15.py) and the old exact-XLA VJP re-ran it once
+    # more inside the backward for d/flow's corner taps.
+    out, didx, didy = warp_pallas_v5_pl(img_pl, flow_pl, emit_grads=True)
+    return out.astype(img_pl.dtype), (img_pl, flow_pl, didx, didy)
 
 
 def _planes_diff_bwd(res, g):
-    # Route the exact-XLA backward through the NHWC formulation: the
-    # plane-layout (N, C, H*W) gather/scatter lowering is pathological
-    # in this XLA's transpose (see warp_planes docstring); the two are
-    # mathematically identical and the moveaxis glue is cheap at any
-    # training resolution.
-    img_pl, flow_pl = res
+    img_pl, flow_pl, didx, didy = res
+    n, c, h, w = img_pl.shape
+    gf = g.astype(jnp.float32)
 
-    def _nhwc(i_pl, f_pl):
-        return to_planes(warp_xla(from_planes(i_pl), from_planes(f_pl)))
+    # d/flow: reduce g * dI/d(coord) over channels; zero where the
+    # sampling coordinate was border-clamped (the gradient of clip).
+    dfx = jnp.sum(gf * didx.astype(jnp.float32), axis=1)
+    dfy = jnp.sum(gf * didy.astype(jnp.float32), axis=1)
+    xs = lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    rawx = xs[None] + flow_pl[:, 0].astype(jnp.float32)
+    rawy = ys[None] + flow_pl[:, 1].astype(jnp.float32)
+    inx = jnp.logical_and(rawx > 0.0, rawx < w - 1).astype(jnp.float32)
+    iny = jnp.logical_and(rawy > 0.0, rawy < h - 1).astype(jnp.float32)
+    d_flow = jnp.stack([dfx * inx, dfy * iny], 1).astype(flow_pl.dtype)
 
-    _, vjp = jax.vjp(_nhwc, img_pl, flow_pl)
-    return tuple(vjp(g.astype(img_pl.dtype)))
+    # d/img: the adjoint of the 4-corner gather-blend with the flow
+    # STOPPED — XLA emits only the scatter-adds (the unused primal
+    # gathers are DCE'd), in the NHWC formulation (plane-layout
+    # scatters are pathological, see warp_planes docstring).
+    def lin(i_pl):
+        return to_planes(warp_xla(from_planes(i_pl),
+                                  lax.stop_gradient(from_planes(flow_pl))))
+
+    _, vjp = jax.vjp(lin, img_pl)
+    d_img = vjp(g.astype(img_pl.dtype))[0]
+    return d_img, d_flow
 
 
 @jax.custom_vjp
 def warp_planes_pallas_diff(img_pl: jnp.ndarray,
                             flow_pl: jnp.ndarray) -> jnp.ndarray:
-    """Pallas plane warp with gradients: v5 plane kernel forward,
-    exact-XLA plane backward."""
+    """Pallas plane warp with gradients: v5 plane kernel forward with
+    in-kernel coordinate derivatives, scatter-only exact d/img.
+
+    Gradient contract: d/img is the exact adjoint of the XLA warp;
+    d/flow is computed from bf16 taps under the v5 window contract
+    (matches the forward's own precision) and is zeroed at
+    border-clamped samples like the exact path."""
     return _planes_pallas(img_pl, flow_pl)
 
 

@@ -209,8 +209,10 @@ def test_warp_xla_planes_matches_nhwc(rng):
 
 def test_warp_planes_pallas_diff_fwd_and_grad(rng):
     """Plane-native v5 wrapper: interpret forward matches the exact
-    plane warp at bf16 tolerance; gradients are the exact-XLA ones
-    (this is the path the plane-major student loop trains through)."""
+    plane warp at bf16 tolerance; d/img is the exact-XLA scatter
+    adjoint, d/flow comes from the kernel's emitted dI/dx, dI/dy (bf16
+    taps — this is the path the plane-major student loop trains
+    through)."""
     from rife_tpu.ops.warp import warp_planes_pallas_diff, warp_xla_planes
 
     n, h, w, c = 1, 32, 128, 3
@@ -223,9 +225,9 @@ def test_warp_planes_pallas_diff_fwd_and_grad(rng):
     ref = warp_xla_planes(img_pl, flow_pl)
     assert float(jnp.max(jnp.abs(out - ref))) < 0.02  # bf16 taps
 
-    # Linear loss: the cotangent is primal-independent, so the exact-XLA
-    # VJP must match to float tolerance even though the Pallas forward
-    # carries bf16 tap noise.
+    # Linear loss: the cotangent is primal-independent, so d/img (the
+    # flow-stopped scatter adjoint) must match to float tolerance;
+    # d/flow carries the kernel's bf16 tap noise.
     wts = jnp.asarray(rng.random((n, c, h, w), dtype=np.float32))
 
     def loss_p(im, fl):
@@ -239,7 +241,7 @@ def test_warp_planes_pallas_diff_fwd_and_grad(rng):
     np.testing.assert_allclose(np.asarray(gp_img), np.asarray(gx_img),
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gp_flow), np.asarray(gx_flow),
-                               atol=1e-4)
+                               atol=0.02)
 
 
 def test_warp2_planes_pair_equivalence(rng):
