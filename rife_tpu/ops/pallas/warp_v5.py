@@ -352,10 +352,15 @@ def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
         interpret = True
 
     hp = max(_ceil_to(h, tile_h), 3 * WIN_ROWS)
-    # Program width: 2 lane-blocks when W divides 256; otherwise 1 so
-    # narrow levels (e.g. 320/640-wide feature maps) don't pad 20-60%
-    # of their output subtiles into the kernel grid.
-    tile_w = TILE_W if w % TILE_W == 0 else SUB_W
+    # Program width: 2 lane-blocks when W divides 256; 1 for NARROW
+    # tensors (<= 384) so levels like 320/160/80 wide don't pad 20-60%
+    # of their output subtiles into the kernel grid.  Wider non-%256
+    # tensors (e.g. 640) keep 2 blocks: the row-window DMA is
+    # full-width per program, so halving tile_w there re-fetches the
+    # same window 1.67x more and measures slower (the fast-mode graph's
+    # 640-wide half-res warps went 54.8 -> 67.6 ms/iter before this
+    # threshold).
+    tile_w = TILE_W if (w % TILE_W == 0 or w > 384) else SUB_W
     wp = _ceil_to(w, tile_w)
     win_w = min(win_w, wp)
 
