@@ -33,7 +33,8 @@ from rife_tpu.nn import (
     leaky_relu,
     pixel_shuffle,
 )
-from rife_tpu.ops import scale_by, warp, warp2
+from rife_tpu.ops import (from_planes, plane_down_int, plane_up, scale_by,
+                          to_planes, warp2_planes)
 
 
 @dataclass(frozen=True)
@@ -90,22 +91,29 @@ def init_v425_block(key, cin: int, c: int) -> dict:
     }
 
 
-def v425_block_apply(p, x, flow, scale: float):
-    """v4.25 IFBlock (train_log/IFNet_HDv3.py:56-90).
-
-    Returns (flow[4], mask[1], feat[8]) at input resolution.
-    """
-    if scale != 1:
-        x = scale_by(x, 1.0 / scale)
-    if flow is not None:
-        flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
-        x = jnp.concatenate([x, flow], -1)
+def v425_block_core(p, x):
+    """The conv stack of one v4.25 IFBlock: 2-stride-2 stem, 8 ResConvs,
+    lastconv deconv + PixelShuffle -> 13ch at the input resolution."""
     x = _conv_lrelu(x, p["conv0"][0], stride=2)
     x = _conv_lrelu(x, p["conv0"][1], stride=2)
     for rp in p["convblock"]:
         x = resconv_apply(rp, x)
     tmp = conv_transpose2d(x, p["lastconv"])
-    tmp = pixel_shuffle(tmp, 2)
+    return pixel_shuffle(tmp, 2)
+
+
+def v425_block_apply(p, x, flow, scale: float):
+    """v4.25 IFBlock (train_log/IFNet_HDv3.py:56-90), NHWC in/out.
+
+    Returns (flow[4], mask[1], feat[8]) at input resolution.  (The
+    plane-major loop in v425_apply scales in plane layout and calls
+    v425_block_core directly; this wrapper serves standalone use.)"""
+    if scale != 1:
+        x = scale_by(x, 1.0 / scale)
+    if flow is not None:
+        flow = scale_by(flow, 1.0 / scale) * (1.0 / scale)
+        x = jnp.concatenate([x, flow], -1)
+    tmp = v425_block_core(p, x)
     if scale != 1:
         tmp = scale_by(tmp, scale)
     flow_out = tmp[..., :4] * scale
@@ -131,35 +139,58 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
 
     Returns dict(flow_list, mask, merged) — merged[-1] is the output frame.
     """
+    # Plane-major loop (same design as models/ifnet.py): every
+    # full-resolution small-C tensor (images, features, flow, mask,
+    # carried feat, timestep) lives in the dense (N, C, H, W) plane
+    # layout; NHWC exists only where each block's conv stack consumes,
+    # at working resolution, via one relayout of the full concat.  The
+    # per-level scale_by halvings become exact plane_down_int /
+    # plane_up (all v4.25 scale factors are even integers).
     cat = jnp.concatenate
     n, h, w, _ = img0.shape
-    tplane = jnp.broadcast_to(
-        jnp.asarray(timestep, img0.dtype).reshape((-1, 1, 1, 1)), (n, h, w, 1)
+    t_pl = jnp.broadcast_to(
+        jnp.asarray(timestep, img0.dtype).reshape((-1, 1, 1, 1)), (n, 1, h, w)
     ).astype(img0.dtype)
 
-    f0 = head_apply(params["encode"], img0)
-    f1 = head_apply(params["encode"], img1)
+    img0_pl = to_planes(img0)
+    img1_pl = to_planes(img1)
+    f0_pl = to_planes(head_apply(params["encode"], img0))
+    f1_pl = to_planes(head_apply(params["encode"], img1))
 
-    flow = None
-    mask = None
-    feat = None
-    warped0, warped1 = img0, img1
+    flow_pl = None
+    mask_pl = None
+    feat_pl = None
+    w0_pl, w1_pl = img0_pl, img1_pl
     flow_list, mask_list, merged = [], [], []
     for i in range(len(cfg.block_channels)):
         p = params[f"block{i}"]
-        if flow is None:
-            x = cat([img0, img1, f0, f1, tplane], -1)
-            flow, mask, feat = v425_block_apply(p, x, None, scale_list[i])
+        s = int(scale_list[i])
+        assert s == scale_list[i] and (s == 1 or s % 2 == 0), scale_list
+        if flow_pl is None:
+            stack_pl = cat([img0_pl, img1_pl, f0_pl, f1_pl, t_pl], 1)
+            xcat = from_planes(plane_down_int(stack_pl, s))
         else:
-            wf0, wf1 = warp2(f0, f1, flow[..., 0:2], flow[..., 2:4])
-            x = cat([warped0, warped1, wf0, wf1, tplane, mask, feat], -1)
-            fd, mask, feat = v425_block_apply(p, x, flow, scale_list[i])
-            flow = flow + fd
-        mask_list.append(mask)
-        flow_list.append(flow)
-        warped0, warped1 = warp2(img0, img1, flow[..., 0:2], flow[..., 2:4])
-        merged.append((warped0, warped1))
+            wf0_pl, wf1_pl = warp2_planes(
+                f0_pl, f1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
+            stack_pl = cat([w0_pl, w1_pl, wf0_pl, wf1_pl, t_pl, mask_pl,
+                            feat_pl], 1)
+            fl_pl = plane_down_int(flow_pl, s) * (1.0 / s)
+            xcat = from_planes(cat([plane_down_int(stack_pl, s),
+                                    fl_pl.astype(stack_pl.dtype)], 1))
+        tmp_pl = to_planes(v425_block_core(p, xcat))
+        if s != 1:
+            tmp_pl = plane_up(tmp_pl, s)
+        fd_pl = tmp_pl[:, :4] * s
+        mask_pl = tmp_pl[:, 4:5]
+        feat_pl = tmp_pl[:, 5:]
+        flow_pl = fd_pl if flow_pl is None else flow_pl + fd_pl
+        mask_list.append(mask_pl)
+        flow_list.append(from_planes(flow_pl))
+        w0_pl, w1_pl = warp2_planes(
+            img0_pl, img1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
+        merged.append((from_planes(w0_pl), from_planes(w1_pl)))
 
-    mask_s = jax.nn.sigmoid(mask)
-    merged[-1] = warped0 * mask_s + warped1 * (1 - mask_s)
-    return {"flow_list": flow_list, "mask": mask_list[-1], "merged": merged}
+    mask_s = jax.nn.sigmoid(mask_pl)
+    merged[-1] = from_planes(w0_pl * mask_s + w1_pl * (1 - mask_s))
+    return {"flow_list": flow_list, "mask": from_planes(mask_list[-1]),
+            "merged": merged}

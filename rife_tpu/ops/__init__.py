@@ -1,4 +1,4 @@
-from rife_tpu.ops.resize import resize_bilinear, scale_by, plane_up, plane_down2
+from rife_tpu.ops.resize import resize_bilinear, scale_by, plane_up, plane_down2, plane_down_int
 from rife_tpu.ops.warp import (warp, warp2, warp_xla, set_warp_impl,
                                use_warp_impl, to_planes, from_planes,
                                warp_planes, warp2_planes, warp_xla_planes)
@@ -19,6 +19,7 @@ __all__ = [
     "warp_xla_planes",
     "plane_up",
     "plane_down2",
+    "plane_down_int",
     "set_warp_impl",
     "use_warp_impl",
     "pad_to_multiple",

@@ -131,6 +131,24 @@ def plane_up(p: jnp.ndarray, f: int) -> jnp.ndarray:
     return p
 
 
+def plane_down_int(p: jnp.ndarray, f: int) -> jnp.ndarray:
+    """Exact even-integer-factor bilinear downsample on (N, C, H, W)
+    planes: torch F.interpolate(scale_factor=1/f, align_corners=False)
+    samples src = f*i + f/2 - 0.5, i.e. each axis is the mean of
+    elements f*i + f/2 - 1 and f*i + f/2 — a separable fixed 2-tap,
+    expressed with split reshapes + static slices (dense-lane work, no
+    gathers).  f == 2 coincides with plane_down2's 2x2 mean."""
+    if f == 1:
+        return p
+    assert f % 2 == 0, f
+    n, c, h, w = p.shape
+    half = jnp.asarray(0.5, p.dtype)
+    x = p.reshape(n, c, h // f, f, w)
+    x = (x[:, :, :, f // 2 - 1] + x[:, :, :, f // 2]) * half
+    x = x.reshape(n, c, h // f, w // f, f)
+    return (x[..., f // 2 - 1] + x[..., f // 2]) * half
+
+
 @jax.custom_vjp
 def plane_down2(p: jnp.ndarray) -> jnp.ndarray:
     """Exact 2x2 mean pooling on (N, C, H, W) planes (the x0.5 bilinear

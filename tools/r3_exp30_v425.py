@@ -1,0 +1,39 @@
+"""Exp30: v4.25 (Practical-RIFE HDv3) throughput at 720p b4 bf16.
+
+The flagship 'rife' graph is plane-major (70.2 fps); v4.25 still runs
+the classic NHWC formulation (5 levels, 10 full-res image warps, 8
+feature warps).  Record where it stands before deciding whether a
+plane-major pass is worth it.
+"""
+import os, sys, time
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp
+from jax import lax
+from rife_tpu.models.registry import MODEL_REGISTRY
+from rife_tpu.ops import use_warp_impl
+
+print("backend:", jax.default_backend(), flush=True)
+B, H, W, K = 4, 768, 1280, 20
+d = MODEL_REGISTRY["v4.25"]
+params = d.init(jax.random.PRNGKey(0), d.config)
+img0 = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, 3), jnp.bfloat16)
+img1 = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W, 3), jnp.bfloat16)
+
+with use_warp_impl("pallas"):
+    @jax.jit
+    def loop(p, a, b):
+        def body(i, a_):
+            out = d.apply(p, a_, b, scale_list=d.scale_list, cfg=d.config)
+            return out["merged"][-1]
+        return jnp.mean(lax.fori_loop(0, K, body, a))
+
+    t0 = time.perf_counter(); float(loop(params, img0, img1))
+    comp = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); float(loop(params, img0, img1))
+        best = min(best, time.perf_counter() - t0)
+ms = best * 1000 / K
+print(f"v4.25 720p-pad768 b4 bf16: {ms:.2f} ms/iter  ({B / ms * 1000:.1f} fps)  "
+      f"(compile {comp:.0f}s)", flush=True)
+print("done", flush=True)
