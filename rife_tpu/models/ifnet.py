@@ -28,15 +28,20 @@ from dataclasses import dataclass, field
 import jax
 import jax.numpy as jnp
 
-from rife_tpu.nn import conv_prelu, conv_transpose2d, conv_prelu_params, init_conv_transpose
+from rife_tpu.nn import (conv_prelu, conv_prelu_planes, conv_transpose2d,
+                         conv_prelu_params, init_conv_transpose)
 from rife_tpu.models.refine import (
     contextnet_apply_pair,
     init_contextnet,
     init_unet,
     unet_apply,
 )
-from rife_tpu.ops import (from_planes, plane_down2, plane_up, scale_by,
-                          to_planes, warp2_planes)
+from rife_tpu.ops import (from_planes, plane_down2, plane_down_int, plane_up,
+                          scale_by, to_planes, warp2_planes)
+
+
+def _even_int(s) -> bool:
+    return float(s) == int(s) and int(s) % 2 == 0
 
 
 @dataclass(frozen=True)
@@ -80,17 +85,22 @@ def init_ifblock(key, cin: int, c: int) -> dict:
     }
 
 
-def ifblock_conv_core(p, x, half_res: bool = False):
+def ifblock_conv_core(p, x, half_res: bool = False, planes: bool = False):
     """The conv stack of one IFBlock: stem + 8 convblocks + lastconv
     deconv.  x is the working-resolution NHWC input (flow already
-    concatenated); returns the raw 5ch `tmp` at half the working
-    resolution (or the working resolution for half_res).
+    concatenated) — or, with planes=True, the same input as (N, C, H, W)
+    planes, relayouted once inside the stem (nn.conv_prelu_planes).
+    Returns the raw 5ch `tmp` at half the working resolution (or the
+    working resolution for half_res).
 
     (A phase-decomposed lastconv emitting planes directly was re-tried
     on the plane-glue graph and measured neutral-to-slower than
     deconv+to_planes at all three block shapes — tools/r3_exp10.py;
     the tiled k4s2 deconv plus a 5ch relayout is already cheap.)"""
-    x = conv_prelu(x, p["conv0"][0], stride=1 if half_res else 2)
+    if planes:
+        x = conv_prelu_planes(x, p["conv0"][0], stride=1 if half_res else 2)
+    else:
+        x = conv_prelu(x, p["conv0"][0], stride=1 if half_res else 2)
     x = conv_prelu(x, p["conv0"][1], stride=2)
     y = x
     for cp in p["convblock"]:
@@ -182,10 +192,12 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
     w0_pl, w1_pl = img0_pl, img1_pl
     flow_list, mask_list, merged = [], [], []
 
-    def block_out(p, xcat, s):
+    def block_out(p, xcat, s, planes=False):
         """Run the conv core and return (flow_d, mask_d) planes at full
-        resolution — the output upsample happens in plane layout."""
-        tmp = ifblock_conv_core(p, xcat, cfg.half_res)
+        resolution — the output upsample happens in plane layout.
+        planes=True: xcat is the (N, C, H, W) plane concat and the stem
+        consumes it directly (no from_planes relayout)."""
+        tmp = ifblock_conv_core(p, xcat, cfg.half_res, planes=planes)
         up = s if cfg.half_res else s * 2
         tmp_pl = to_planes(tmp)
         if up != 1:
@@ -199,42 +211,63 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
         p = params[f"block{i}"]
         s = scale_list[i]
         if flow_pl is None:
-            # block0: inputs are the NHWC-native images; the reference's
-            # single x(1/s) interpolate (2-tap for x4) applies.
-            x = cat([img0, img1] + ([tplane] if tplane is not None else []), -1)
-            if s != 1:
-                x = scale_by(x, 1.0 / s)
-            flow_d_pl, mask_d_pl = block_out(p, x, s)
+            # block0: the reference's single x(1/s) interpolate is a
+            # separable fixed 2-tap for even integer s — run it on the
+            # dense plane concat (plane_down_int, bit-exact vs scale_by)
+            # instead of paying the full-res 6ch lane-sparse NHWC resize.
+            parts_pl = [img0_pl, img1_pl]
+            if tplane_pl is not None:
+                parts_pl.append(tplane_pl)
+            x_pl = cat(parts_pl, 1)
+            if _even_int(s):
+                x_pl = plane_down_int(x_pl, int(s))
+                flow_d_pl, mask_d_pl = block_out(p, x_pl, s, planes=True)
+            else:
+                x = from_planes(x_pl)
+                if s != 1:
+                    x = scale_by(x, 1.0 / s)
+                flow_d_pl, mask_d_pl = block_out(p, x, s)
             flow_pl, mask_pl = flow_d_pl, mask_d_pl
         elif fast0 and i == 1:
             # Build block1's input directly at its working resolution:
             # warp half-res images by half-res flow instead of warping
             # full-res and letting the block downsample the 17ch concat.
             inv = 1.0 / s
-            img0_s = scale_by(img0, inv)
-            img1_s = scale_by(img1, inv)
+            if s == 2:
+                img0s_pl = plane_down2(img0_pl)
+                img1s_pl = plane_down2(img1_pl)
+            elif _even_int(s):
+                img0s_pl = plane_down_int(img0_pl, int(s))
+                img1s_pl = plane_down_int(img1_pl, int(s))
+            else:
+                img0s_pl = to_planes(scale_by(img0, inv))
+                img1s_pl = to_planes(scale_by(img1, inv))
             if s == 2:
                 flow_s_pl = plane_down2(flow_pl) * inv
                 mask_s_pl = plane_down2(mask_pl)
+            elif _even_int(s):
+                flow_s_pl = plane_down_int(flow_pl, int(s)) * inv
+                mask_s_pl = plane_down_int(mask_pl, int(s))
             else:
                 flow_s_pl = to_planes(scale_by(from_planes(flow_pl), inv)) * inv
                 mask_s_pl = to_planes(scale_by(from_planes(mask_pl), inv))
             w0s_pl, w1s_pl = warp2_planes(
-                to_planes(img0_s), to_planes(img1_s),
+                img0s_pl, img1s_pl,
                 flow_s_pl[:, 0:2], flow_s_pl[:, 2:4])
-            parts_pl = [to_planes(img0_s), to_planes(img1_s)]
+            parts_pl = [img0s_pl, img1s_pl]
             if tplane_pl is not None:
                 parts_pl.append(to_planes(scale_by(tplane, inv)))
             parts_pl += [w0s_pl, w1s_pl, mask_s_pl, flow_s_pl]
-            xcat = from_planes(cat(parts_pl, 1))
-            flow_d_pl, mask_d_pl = block_out(p, xcat, s)
+            xcat_pl = cat(parts_pl, 1)
+            flow_d_pl, mask_d_pl = block_out(p, xcat_pl, s, planes=True)
             flow_pl = flow_pl + flow_d_pl
             mask_pl = mask_pl + mask_d_pl
         else:
             # Working-res input: downscale the 13(+1)ch stack and the
             # flow in plane layout, then ONE planes->NHWC relayout of
-            # the full 17(+1)ch concat.  x0.5 bilinear == exact 2x2
-            # mean, so plane_down2 matches the reference interpolate.
+            # the full 17(+1)ch concat inside the stem.  x0.5 bilinear
+            # == exact 2x2 mean, so plane_down2 matches the reference
+            # interpolate.
             parts_pl = [img0_pl, img1_pl]
             if tplane_pl is not None:
                 parts_pl.append(tplane_pl)
@@ -244,11 +277,14 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             if s == 2:
                 stack_pl = plane_down2(stack_pl)
                 fl_pl = plane_down2(fl_pl) * 0.5
+            elif _even_int(s):  # UHD / scale<1 levels: dense 2-tap
+                stack_pl = plane_down_int(stack_pl, int(s))
+                fl_pl = plane_down_int(fl_pl, int(s)) * (1.0 / s)
             elif s != 1:
                 stack_pl = to_planes(scale_by(from_planes(stack_pl), 1.0 / s))
                 fl_pl = to_planes(scale_by(from_planes(fl_pl), 1.0 / s)) * (1.0 / s)
-            xcat = from_planes(cat([stack_pl, fl_pl.astype(stack_pl.dtype)], 1))
-            flow_d_pl, mask_d_pl = block_out(p, xcat, s)
+            xcat_pl = cat([stack_pl, fl_pl.astype(stack_pl.dtype)], 1)
+            flow_d_pl, mask_d_pl = block_out(p, xcat_pl, s, planes=True)
             flow_pl = flow_pl + flow_d_pl
             mask_pl = mask_pl + mask_d_pl
         mask_list.append(jax.nn.sigmoid(mask_pl))
@@ -315,12 +351,12 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
 
     if do_refine:
         c0, c1 = contextnet_apply_pair(
-            params["contextnet"], img0, img1, flow_pl[:, 0:2], flow_pl[:, 2:4],
-            cfg.half_res
+            params["contextnet"], img0_pl, img1_pl,
+            flow_pl[:, 0:2], flow_pl[:, 2:4], cfg.half_res, planes=True
         )
-        x17 = from_planes(cat(
-            [img0_pl, img1_pl, w0_pl, w1_pl, mask_pl, flow_pl], 1))
-        res = unet_apply(params["unet"], x17, c0, c1, cfg.half_res)
+        x17_pl = cat([img0_pl, img1_pl, w0_pl, w1_pl, mask_pl, flow_pl], 1)
+        res = unet_apply(params["unet"], x17_pl, c0, c1, cfg.half_res,
+                         planes=True)
         res = res * 2 - 1
         merged[2] = jnp.clip(merged[2] + res, 0.0, 1.0)
 

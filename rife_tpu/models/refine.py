@@ -15,7 +15,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rife_tpu.nn import conv_prelu, conv_transpose2d, conv2d, prelu, conv_prelu_params, deconv_prelu_params, init_conv
+from rife_tpu.nn import (conv_prelu, conv_prelu_planes, conv_transpose2d,
+                         conv2d, prelu, conv_prelu_params,
+                         deconv_prelu_params, init_conv)
 from rife_tpu.ops import from_planes, plane_down2, to_planes, warp_planes
 
 _C = 16  # base channel width (reference refine.py:35)
@@ -29,8 +31,11 @@ def _conv2_params(key, cin, cout):
     }
 
 
-def _conv2_apply(p, x, stride=2):
-    x = conv_prelu(x, p["conv1"], stride=stride)
+def _conv2_apply(p, x, stride=2, planes=False):
+    if planes:
+        x = conv_prelu_planes(x, p["conv1"], stride=stride)
+    else:
+        x = conv_prelu(x, p["conv1"], stride=stride)
     return conv_prelu(x, p["conv2"], stride=1)
 
 
@@ -44,7 +49,8 @@ def init_contextnet(key) -> dict:
     }
 
 
-def contextnet_apply(p, img, flow_pl, half_res: bool = False) -> list[jnp.ndarray]:
+def contextnet_apply(p, img, flow_pl, half_res: bool = False,
+                     planes: bool = False) -> list[jnp.ndarray]:
     """4-level warped feature pyramid (refine.py:44-57 / refine_2R.py:44-58).
 
     flow_pl is in the (N, 2, H, W) plane layout: the per-level flow
@@ -54,9 +60,11 @@ def contextnet_apply(p, img, flow_pl, half_res: bool = False) -> list[jnp.ndarra
     reproduces the reference's F.interpolate halving exactly.
 
     half_res: conv1 is stride-1 and the first warp uses the flow unscaled.
+    planes: img is (N, 3, H, W) planes — conv1 consumes it directly.
     """
     feats = []
-    x = _conv2_apply(p["conv1"], img, stride=1 if half_res else 2)
+    x = _conv2_apply(p["conv1"], img, stride=1 if half_res else 2,
+                     planes=planes)
     if not half_res:
         flow_pl = plane_down2(flow_pl) * 0.5
     feats.append(from_planes(warp_planes(to_planes(x), flow_pl)))
@@ -68,15 +76,16 @@ def contextnet_apply(p, img, flow_pl, half_res: bool = False) -> list[jnp.ndarra
 
 
 def contextnet_apply_pair(p, img0, img1, flow0_pl, flow1_pl,
-                          half_res: bool = False):
+                          half_res: bool = False, planes: bool = False):
     """Both context pyramids in one batch-concatenated pass: every conv
     runs at 2N (better MXU utilization) and each level's two feature
     warps become one kernel launch.  Exactly equivalent to two
-    contextnet_apply calls.  Flows arrive as (N, 2, H, W) planes."""
+    contextnet_apply calls.  Flows arrive as (N, 2, H, W) planes;
+    planes=True means img0/img1 do too."""
     n = img0.shape[0]
     img = jnp.concatenate([img0, img1], 0)
     flow_pl = jnp.concatenate([flow0_pl, flow1_pl], 0)
-    feats = contextnet_apply(p, img, flow_pl, half_res)
+    feats = contextnet_apply(p, img, flow_pl, half_res, planes=planes)
     c0 = [f[:n] for f in feats]
     c1 = [f[n:] for f in feats]
     return c0, c1
@@ -97,15 +106,17 @@ def init_unet(key) -> dict:
     }
 
 
-def unet_apply(p, x17, c0, c1, half_res: bool = False) -> jnp.ndarray:
+def unet_apply(p, x17, c0, c1, half_res: bool = False,
+               planes: bool = False) -> jnp.ndarray:
     """Fusion U-Net -> sigmoid 3ch residual (refine.py:72-82 / refine_2R.py:72-83).
 
-    x17: the NHWC concat [img0, img1, warped0, warped1, mask, flow]
-    (3+3+3+3+1+4 = 17 ch).  The caller builds it with ONE plane concat +
-    one planes->NHWC relayout instead of three separate small-C
-    relayouts (layout tax)."""
+    x17: the concat [img0, img1, warped0, warped1, mask, flow]
+    (3+3+3+3+1+4 = 17 ch) — NHWC, or (N, 17, H, W) planes with
+    planes=True, in which case down0's first conv does the ONE
+    planes->NHWC relayout (layout tax, docs/PERFORMANCE.md)."""
     cat = jnp.concatenate
-    s0 = _conv2_apply(p["down0"], x17, stride=1 if half_res else 2)
+    s0 = _conv2_apply(p["down0"], x17, stride=1 if half_res else 2,
+                      planes=planes)
     s1 = _conv2_apply(p["down1"], cat([s0, c0[0], c1[0]], -1))
     s2 = _conv2_apply(p["down2"], cat([s1, c0[1], c1[1]], -1))
     s3 = _conv2_apply(p["down3"], cat([s2, c0[2], c1[2]], -1))

@@ -4,6 +4,8 @@ from rife_tpu.nn.layers import (
     prelu,
     leaky_relu,
     conv_prelu,
+    conv2d_planes,
+    conv_prelu_planes,
     pixel_shuffle,
 )
 from rife_tpu.nn.init import (
@@ -20,6 +22,8 @@ __all__ = [
     "prelu",
     "leaky_relu",
     "conv_prelu",
+    "conv2d_planes",
+    "conv_prelu_planes",
     "pixel_shuffle",
     "init_conv",
     "init_conv_transpose",

@@ -92,6 +92,25 @@ def conv2d(x: jnp.ndarray, p: dict, stride: int = 1, padding: int | None = None,
     return out
 
 
+def conv2d_planes(x_pl: jnp.ndarray, p: dict, stride: int = 1) -> jnp.ndarray:
+    """Conv consuming (N, C, H, W) planes; output plain NHWC.
+
+    Exactly from_planes + conv2d.  Entry point for the plane-major
+    glue: block stems, U-Net down0 and contextnet conv1 consume
+    full-resolution plane concats (models/ifnet.py, models/refine.py).
+    A variant that assembled the H-tiled halos in the dense plane
+    layout (one relayout instead of relayout + lane-sparse halo concat)
+    measured SLOWER full-graph — 63.0 ms/iter take-assembly / 60.1
+    concat-assembly vs 57.3 (tools/r3_exp37_planesconv.py) — so this
+    stays the plain lowering; see docs/PERFORMANCE.md negatives."""
+    return conv2d(jnp.moveaxis(x_pl, 1, -1), p, stride=stride)
+
+
+def conv_prelu_planes(x_pl: jnp.ndarray, p: dict, stride: int = 1) -> jnp.ndarray:
+    """conv() block consuming planes: Conv2d + PReLU, NHWC out."""
+    return prelu(conv2d_planes(x_pl, p["conv"], stride=stride), p["alpha"])
+
+
 def conv_transpose2d(x: jnp.ndarray, p: dict, stride: int = 2,
                      torch_padding: int = 1) -> jnp.ndarray:
     """torch ConvTranspose2d(k, stride, padding) with pre-flipped weights.

@@ -332,11 +332,13 @@ def warp_pallas_v5(img: jnp.ndarray, flow: jnp.ndarray, *, win_w: int = 256,
 
 
 @functools.partial(jax.jit, static_argnames=("win_w", "interpret", "skip",
-                                             "tile_h", "emit_grads"))
+                                             "tile_h", "emit_grads",
+                                             "tile_w_override"))
 def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
                       win_w: int = 256, interpret: bool = False,
                       skip: bool | None = None, tile_h: int = TILE_H,
-                      emit_grads: bool = False):
+                      emit_grads: bool = False,
+                      tile_w_override: int | None = None):
     """Plane-native v5 warp: (N, C, H, W) x (N, 2, H, W) -> (N, C, H, W)
     bf16.  The plane-major inference glue calls this directly so no
     NHWC<->NCHW relayout (~0.8 ms each at 720p, tools/r3_exp8.py) ever
@@ -361,6 +363,8 @@ def warp_pallas_v5_pl(planes_in: jnp.ndarray, flow_pl: jnp.ndarray, *,
     # 640-wide half-res warps went 54.8 -> 67.6 ms/iter before this
     # threshold).
     tile_w = TILE_W if (w % TILE_W == 0 or w > 384) else SUB_W
+    if tile_w_override is not None:
+        tile_w = tile_w_override
     wp = _ceil_to(w, tile_w)
     win_w = min(win_w, wp)
 

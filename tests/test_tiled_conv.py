@@ -29,6 +29,20 @@ def test_conv2d_tiled_exact(rng, stride, shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
+def test_conv2d_planes_dispatch(rng):
+    """layers.conv2d_planes == from_planes + conv2d, tiled or not."""
+    x = jnp.asarray(rng.standard_normal((1, 512, 512, 17)), jnp.float32)
+    x_pl = jnp.moveaxis(x, -1, 1)
+    p = {"w": jnp.asarray(rng.standard_normal((3, 3, 17, 6)), jnp.float32) * 0.1,
+         "b": jnp.asarray(rng.standard_normal((6,)), jnp.float32)}
+    for stride in (1, 2):
+        with layers.use_conv_tiling(False):
+            a = layers.conv2d(x, p, stride=stride)
+        with layers.use_conv_tiling(True):
+            b = layers.conv2d_planes(x_pl, p, stride=stride)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_conv_transpose2d_tiled_exact(rng):
     x = jnp.asarray(rng.standard_normal((2, 48, 64, 9)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((4, 4, 9, 7)), jnp.float32)
