@@ -40,6 +40,13 @@ from rife_tpu.ops import (from_planes, plane_down_int, plane_up, scale_by,
 @dataclass(frozen=True)
 class V425Config:
     block_channels: tuple = (192, 128, 96, 64, 32)
+    # Opt-in serving approximation (same engine knob as the paper
+    # model's fast_level0): warp each block's inputs at the resolution
+    # the block actually consumes (1/s) instead of warping full-res and
+    # downsampling the stack.  v4.25 is warp-bound (18 full-res warps =
+    # 43.2 of 78.7 ms/iter, tools/r3_exp34_v425trace.py), so this is
+    # where its time goes.  Inference-only; merged[:-1] are None.
+    fast_level0: bool = False
 
     @property
     def block_in(self) -> tuple:
@@ -154,24 +161,43 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
 
     img0_pl = to_planes(img0)
     img1_pl = to_planes(img1)
-    f0_pl = to_planes(head_apply(params["encode"], img0))
-    f1_pl = to_planes(head_apply(params["encode"], img1))
+    # one batch-paired encoder pass: each head conv runs once at 2N
+    f_pair = to_planes(head_apply(params["encode"],
+                                  cat([img0, img1], 0)))
+    f0_pl, f1_pl = f_pair[:n], f_pair[n:]
+    fast = cfg.fast_level0
 
     flow_pl = None
     mask_pl = None
     feat_pl = None
-    w0_pl, w1_pl = img0_pl, img1_pl
+    w0_pl = w1_pl = wf0_pl = wf1_pl = None
     flow_list, mask_list, merged = [], [], []
-    for i in range(len(cfg.block_channels)):
+    nlev = len(cfg.block_channels)
+    for i in range(nlev):
         p = params[f"block{i}"]
         s = int(scale_list[i])
         assert s == scale_list[i] and (s == 1 or s % 2 == 0), scale_list
         if flow_pl is None:
             stack_pl = cat([img0_pl, img1_pl, f0_pl, f1_pl, t_pl], 1)
             xcat = from_planes(plane_down_int(stack_pl, s))
+        elif fast and s != 1:
+            # Warp at the block's working resolution: downsample the
+            # warp INPUTS (images, encoder features, flow) and run ONE
+            # packed 7ch warp pair at 1/s instead of two full-res
+            # pairs.  Approximate (warp∘down != down∘warp), like the
+            # paper model's fast0.
+            fl_pl = plane_down_int(flow_pl, s) * (1.0 / s)
+            srcs_s = plane_down_int(
+                cat([img0_pl, f0_pl, img1_pl, f1_pl], 1), s)
+            ws0, ws1 = warp2_planes(
+                srcs_s[:, 0:7], srcs_s[:, 7:14],
+                fl_pl[:, 0:2], fl_pl[:, 2:4])
+            rest_s = plane_down_int(cat([t_pl, mask_pl, feat_pl], 1), s)
+            xcat = from_planes(cat(
+                [ws0[:, 0:3], ws1[:, 0:3], ws0[:, 3:7], ws1[:, 3:7],
+                 rest_s, fl_pl.astype(srcs_s.dtype)], 1))
         else:
-            wf0_pl, wf1_pl = warp2_planes(
-                f0_pl, f1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
+            # w/wf were computed by the previous level's packed warp
             stack_pl = cat([w0_pl, w1_pl, wf0_pl, wf1_pl, t_pl, mask_pl,
                             feat_pl], 1)
             fl_pl = plane_down_int(flow_pl, s) * (1.0 / s)
@@ -186,9 +212,30 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
         flow_pl = fd_pl if flow_pl is None else flow_pl + fd_pl
         mask_list.append(mask_pl)
         flow_list.append(from_planes(flow_pl))
-        w0_pl, w1_pl = warp2_planes(
-            img0_pl, img1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
-        merged.append((from_planes(w0_pl), from_planes(w1_pl)))
+        last = i + 1 == nlev
+        if not last and (not fast or int(scale_list[i + 1]) == 1):
+            # The next level consumes full-res warps of BOTH the images
+            # and the encoder features, by this same flow: one packed
+            # 7ch pair call (bit-exact vs two separate pairs — the
+            # kernel is channel-independent) instead of an image pair
+            # here plus a feature pair there.  Shares one scalar prep
+            # and amortizes the per-subtile coordinate work (images
+            # alone pay ~2.2x per subtile-channel at cb=3,
+            # docs/PERFORMANCE.md).
+            wp0, wp1 = warp2_planes(
+                cat([img0_pl, f0_pl], 1), cat([img1_pl, f1_pl], 1),
+                flow_pl[:, 0:2], flow_pl[:, 2:4])
+            w0_pl, w1_pl = wp0[:, 0:3], wp1[:, 0:3]
+            wf0_pl, wf1_pl = wp0[:, 3:7], wp1[:, 3:7]
+            merged.append((from_planes(w0_pl), from_planes(w1_pl)))
+        elif last:
+            w0_pl, w1_pl = warp2_planes(
+                img0_pl, img1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
+            merged.append((from_planes(w0_pl), from_planes(w1_pl)))
+        else:
+            # fast mode: this level's warps are consumed only by the
+            # next block, at 1/s_{i+1} — warped there instead
+            merged.append(None)
 
     mask_s = jax.nn.sigmoid(mask_pl)
     merged[-1] = from_planes(w0_pl * mask_s + w1_pl * (1 - mask_s))

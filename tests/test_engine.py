@@ -200,3 +200,44 @@ def test_fast_level0_mode_close_to_exact(rng):
     out = dd.apply(dd.init(__import__("jax").random.PRNGKey(0), cfg),
                    img0, img1, gt=img0, scale_list=dd.scale_list, cfg=cfg)
     assert out["merged_teacher"] is not None
+
+
+def test_v425_fast_mode_close_to_exact(rng):
+    """v4.25 fast mode: consumer-resolution warps at the coarse levels
+    stay close to the exact path on smooth content; merged[:-1] of the
+    skipped levels are None (inference-only approximation)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rife_tpu.models.registry import MODEL_REGISTRY
+
+    # %64 size: direct v425_apply needs the reference's pad granularity
+    base = rng.random((1, 72, 136, 3)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)) / 3
+    img0 = jnp.asarray(base[:, :64, :128])
+    img1 = jnp.asarray(base[:, 8:72, 8:136])
+
+    dd = MODEL_REGISTRY["v4.25"]
+    params = dd.init(jax.random.PRNGKey(0), dd.config)
+    exact = dd.apply(params, img0, img1, scale_list=dd.scale_list,
+                     cfg=dd.config)
+    fcfg = dataclasses.replace(dd.config, fast_level0=True)
+    fast = dd.apply(params, img0, img1, scale_list=dd.scale_list, cfg=fcfg)
+
+    assert all(m is None for m in fast["merged"][:-2])
+    e = np.asarray(exact["merged"][-1])
+    f = np.asarray(fast["merged"][-1])
+    assert f.shape == e.shape
+    d = np.abs(f - e)
+    assert d.mean() < 0.02, d.mean()
+
+    # the engine knob routes to the same config
+    from rife_tpu.engine import InferenceEngine
+
+    eng = InferenceEngine("v4.25", params=params, fast=True)
+    assert eng.model_def.config.fast_level0 is True
+    out = np.asarray(eng.interpolate(img0, img1))
+    assert out.shape == e.shape
