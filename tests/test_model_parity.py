@@ -177,3 +177,31 @@ def test_engine_scale_pad_contract():
     z0 = jnp.zeros((1, 64, 128, 3), jnp.float32)
     out = eng.interpolate(z0, z0)
     assert out.shape == z0.shape and bool(jnp.isfinite(out).all())
+
+
+def test_v425_uhd_scale_parity():
+    """v4.25 with the UHD knob (scale 0.5 => scale_list [32,16,8,4,2],
+    train_log/RIFE_HDv3.py:56-60): pins plane_down_int at f=32 and the
+    packed-warp loop when the finest level is s=2."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_ifnet_hdv3_uhd", os.path.join(REF, "train_log", "IFNet_HDv3.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(23)
+    net = mod.IFNet().eval()
+    params = import_v425(_sd_numpy(net))
+
+    img0, img1 = _rand_pair(h=128, w=128, seed=9)
+    with torch.no_grad():
+        _, _, merged = net(
+            torch.cat([img0, img1], 1), timestep=0.5,
+            scale_list=[32, 16, 8, 4, 2]
+        )
+    out = v425_apply(params, to_nhwc(img0), to_nhwc(img1), timestep=0.5,
+                     scale_list=(32.0, 16.0, 8.0, 4.0, 2.0))
+    diff = np.abs(from_nhwc(out["merged"][-1]) - merged[-1].numpy()).max()
+    assert diff < 2e-4, diff
