@@ -100,13 +100,33 @@ def init_v425_block(key, cin: int, c: int) -> dict:
 
 def v425_block_core(p, x):
     """The conv stack of one v4.25 IFBlock: 2-stride-2 stem, 8 ResConvs,
-    lastconv deconv + PixelShuffle -> 13ch at the input resolution."""
+    lastconv deconv + PixelShuffle -> 13ch at the input resolution.
+    (A fused shuffle-to-planes transpose was measured 5.2 ms/iter
+    WORSE full-graph than pixel_shuffle + to_planes — tools/r3_exp48,
+    the usual relayout-poisoning failure mode.)"""
     x = _conv_lrelu(x, p["conv0"][0], stride=2)
     x = _conv_lrelu(x, p["conv0"][1], stride=2)
     for rp in p["convblock"]:
         x = resconv_apply(rp, x)
     tmp = conv_transpose2d(x, p["lastconv"])
     return pixel_shuffle(tmp, 2)
+
+
+# The plane-major loop hands each block the warp outputs in PACKED
+# channel order ([w_img0|wf0, w_img1|wf1, ...] straight from the 7ch
+# pair warp) and absorbs the reorder into the stem weights instead of
+# paying a channel-shuffling concat on full-res activations (~1.4
+# ms/iter of slow concatenate ops traced in tools/r3_exp45_v425trace2.py).
+# Packed j -> reference cin: [w0(0:3), wf0(3:7), w1(7:10), wf1(10:14)]
+# maps to the reference order [w0(0:3), w1(3:6), wf0(6:10), wf1(10:14)].
+_PACK_PERM = tuple([0, 1, 2, 6, 7, 8, 9, 3, 4, 5, 10, 11, 12, 13])
+
+
+def _perm_stem(p, cin):
+    w = p["conv0"][0]["w"]
+    perm = list(_PACK_PERM) + list(range(14, cin))
+    return {**p, "conv0": [{**p["conv0"][0], "w": w[:, :, perm, :]},
+                           p["conv0"][1]]}
 
 
 def v425_block_apply(p, x, flow, scale: float):
@@ -193,14 +213,16 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
                 srcs_s[:, 0:7], srcs_s[:, 7:14],
                 fl_pl[:, 0:2], fl_pl[:, 2:4])
             rest_s = plane_down_int(cat([t_pl, mask_pl, feat_pl], 1), s)
+            p = _perm_stem(p, cfg.block_in[i])  # packed channel order
             xcat = from_planes(cat(
-                [ws0[:, 0:3], ws1[:, 0:3], ws0[:, 3:7], ws1[:, 3:7],
-                 rest_s, fl_pl.astype(srcs_s.dtype)], 1))
+                [ws0, ws1, rest_s, fl_pl.astype(srcs_s.dtype)], 1))
         else:
-            # w/wf were computed by the previous level's packed warp
-            stack_pl = cat([w0_pl, w1_pl, wf0_pl, wf1_pl, t_pl, mask_pl,
-                            feat_pl], 1)
+            # wp0/wp1 are the previous level's packed 7ch warps
+            # ([w_img|wf] per side); the stem weights absorb the
+            # channel reorder (_perm_stem)
+            stack_pl = cat([wp0_pl, wp1_pl, t_pl, mask_pl, feat_pl], 1)
             fl_pl = plane_down_int(flow_pl, s) * (1.0 / s)
+            p = _perm_stem(p, cfg.block_in[i])
             xcat = from_planes(cat([plane_down_int(stack_pl, s),
                                     fl_pl.astype(stack_pl.dtype)], 1))
         tmp_pl = to_planes(v425_block_core(p, xcat))
@@ -222,11 +244,10 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
             # and amortizes the per-subtile coordinate work (images
             # alone pay ~2.2x per subtile-channel at cb=3,
             # docs/PERFORMANCE.md).
-            wp0, wp1 = warp2_planes(
+            wp0_pl, wp1_pl = warp2_planes(
                 cat([img0_pl, f0_pl], 1), cat([img1_pl, f1_pl], 1),
                 flow_pl[:, 0:2], flow_pl[:, 2:4])
-            w0_pl, w1_pl = wp0[:, 0:3], wp1[:, 0:3]
-            wf0_pl, wf1_pl = wp0[:, 3:7], wp1[:, 3:7]
+            w0_pl, w1_pl = wp0_pl[:, 0:3], wp1_pl[:, 0:3]
             merged.append((from_planes(w0_pl), from_planes(w1_pl)))
         elif last:
             w0_pl, w1_pl = warp2_planes(

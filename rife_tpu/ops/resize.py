@@ -141,6 +141,9 @@ def plane_down_int(p: jnp.ndarray, f: int) -> jnp.ndarray:
     if f == 1:
         return p
     assert f % 2 == 0, f
+    # f == 2 deliberately does NOT dispatch to plane_down2: the
+    # reduce_window lowering measured 3.3 ms/iter SLOWER than this
+    # split-reshape form on the v4.25 fast graph (tools/r3_exp48).
     n, c, h, w = p.shape
     half = jnp.asarray(0.5, p.dtype)
     x = p.reshape(n, c, h // f, f, w)
