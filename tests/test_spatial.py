@@ -106,3 +106,29 @@ def test_spatial_motion_guard_quiet_below_margin(engine, rng):
         warnings.simplefilter("error")
         out = interpolate_spatial(engine, mesh, img0, img1, margin=32)
     assert out.shape == img0.shape
+
+
+def test_spatial_sharded_v425(rng):
+    """The 4K latency mode is engine-generic: v4.25 (pad granularity 64)
+    through the same halo-exchange path, margin %64.
+
+    v4.25's seam contract is SOFTER than the paper model's: its
+    scale-16 coarsest level sees the whole frame globally but only
+    slab+halo when sharded, so slab-local flow estimates differ beyond
+    pure warp clamping (measured interior mean ~3e-3 at margin 128 on
+    smooth content vs ~1e-3 class for the paper model at margin 32).
+    Use the paper model (or a bigger margin = slab height) when seam
+    tightness matters."""
+    from rife_tpu.engine import InferenceEngine
+
+    eng = InferenceEngine("v4.25", seed=0, warp_impl="xla")
+    mesh = make_mesh(("data",))
+    # H = 8 devices x 128 rows, margin 128 (max: the slab height)
+    img0, img1 = _smooth_pair(rng, 1, 1024, 128)
+    ref = np.asarray(eng.interpolate(img0, img1))
+    out = np.asarray(interpolate_spatial(eng, mesh, img0, img1, margin=128))
+    assert out.shape == ref.shape
+    d = np.abs(out - ref)
+    interior = d[:, 256:-256]
+    assert interior.mean() < 0.01, interior.mean()
+    assert np.quantile(interior, 0.99) < 0.05, np.quantile(interior, 0.99)
