@@ -205,3 +205,51 @@ def test_v425_uhd_scale_parity():
                      scale_list=(32.0, 16.0, 8.0, 4.0, 2.0))
     diff = np.abs(from_nhwc(out["merged"][-1]) - merged[-1].numpy()).max()
     assert diff < 2e-4, diff
+
+
+def test_torch_export_roundtrip_and_reference_load():
+    """Export path back to the reference ecosystem: our params ->
+    reference state dict -> (a) re-import gives the identical pytree,
+    (b) the ACTUAL reference torch IFNet loads it strict=True and its
+    forward matches our apply (a checkpoint trained here serves in the
+    reference repo unchanged)."""
+    import jax
+
+    from model.IFNet import IFNet
+    from rife_tpu.models.ifnet import init_ifnet
+    from rife_tpu.models.torch_export import export_ifnet
+
+    params = init_ifnet(jax.random.PRNGKey(3), IFNetConfig())
+    sd = export_ifnet(params)
+
+    # (a) exact re-import roundtrip
+    back = import_ifnet({k: v for k, v in sd.items()})
+    flat_a = {k: v for k, v in _flatten_tree(params)}
+    flat_b = {k: v for k, v in _flatten_tree(back)}
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k], np.float32),
+                                      np.asarray(flat_b[k], np.float32))
+
+    # (b) the reference model loads it strict and agrees numerically
+    net = IFNet().eval()
+    missing, unexpected = net.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in sd.items()}, strict=True)
+    assert not missing and not unexpected, (missing, unexpected)
+    img0, img1 = _rand_pair(h=64, w=64, seed=11)
+    with torch.no_grad():
+        _, _, merged, _, _, _ = net(torch.cat([img0, img1], 1), scale=[4, 2, 1])
+    out = ifnet_apply(params, to_nhwc(img0), to_nhwc(img1))
+    diff = np.abs(from_nhwc(out["merged"][2]) - merged[2].numpy()).max()
+    assert diff < 2e-4, diff
+
+
+def _flatten_tree(tree, prefix=""):
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _flatten_tree(tree[k], f"{prefix}{k}/")
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _flatten_tree(v, f"{prefix}{i}/")
+    else:
+        yield prefix[:-1], np.asarray(tree)
