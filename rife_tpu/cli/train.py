@@ -44,7 +44,11 @@ def main(argv=None):
     ap.add_argument("--data", type=str, default="vimeo_triplet")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data (smoke)")
     ap.add_argument("--steps", type=int, default=None, help="stop after N steps (smoke)")
-    ap.add_argument("--model", type=str, default="rife", choices=["rife", "rife_m", "rife_2r"])
+    ap.add_argument("--model", type=str, default="rife",
+                    choices=["rife", "rife_m", "rife_2r", "v4.25"])
+    ap.add_argument("--weight_decay", type=float, default=None,
+                    help="AdamW wd (default 1e-3 paper / 1e-4 v4.25, "
+                         "model/RIFE.py:25, train_log/RIFE_HDv3.py:19)")
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--log_dir", type=str, default="train_log")
     ap.add_argument("--resume", type=str, default=None)
@@ -86,8 +90,17 @@ def main(argv=None):
     world_scale = args.batch_size / 64.0  # reference: 4 ranks x batch16 => x1
 
     model_def = MODEL_REGISTRY[args.model]
+    pm = model_def.pad_multiple
+    if args.crop % pm:
+        new_crop = max(pm, args.crop // pm * pm)
+        print(f"crop {args.crop} -> {new_crop} ({args.model} needs %{pm})")
+        args.crop = new_crop
+    wd = args.weight_decay
+    if wd is None:
+        wd = 1e-4 if args.model == "v4.25" else 1e-3
     state, tx, schedule = train_init(model_def, total_steps=total_steps,
-                                     seed=args.seed, world_scale=world_scale)
+                                     seed=args.seed, world_scale=world_scale,
+                                     weight_decay=wd)
     if args.resume:
         tree, meta = load_params(args.resume)
         # The on-disk tree is plain lists/dicts; restore into the live

@@ -43,7 +43,44 @@ def train_init(model_def: ModelDef, *, total_steps: int, seed: int = 1234,
     return state, tx, schedule
 
 
+def _loss_fn_v425(params, batch, model_def: ModelDef, compute_dtype):
+    """v4.25 objective: L1 + 0.1 * Sobel flow smoothness.
+
+    The reference's own HDv3 update is unrunnable (train_log/
+    RIFE_HDv3.py:62-88: `img0` is only bound when training==False in
+    IFNet_HDv3.forward, and `loss_cons` is never defined — though the
+    forward initializes it to 0, IFNet_HDv3.py:137).  This implements
+    the evident intent: loss_l1 = |merged[-1] - gt| (RIFE_HDv3.py:72),
+    loss_smooth = sobel(flow[-1], 0) (RIFE_HDv3.py:73), combined as
+    loss_l1 + 0.1*loss_smooth with loss_cons == 0."""
+    from rife_tpu.train.losses import sobel_loss
+
+    img0 = batch["img0"].astype(compute_dtype)
+    img1 = batch["img1"].astype(compute_dtype)
+    gt = batch["gt"].astype(jnp.float32)
+    out = model_def.apply(
+        params, img0, img1,
+        timestep=batch.get("timestep", 0.5),
+        scale_list=model_def.scale_list,
+        cfg=model_def.config,
+    )
+    pred = out["merged"][-1].astype(jnp.float32)
+    flow = out["flow_list"][-1].astype(jnp.float32)
+    loss_l1 = jnp.abs(pred - gt).mean()
+    loss_smooth = sobel_loss(flow, jnp.zeros_like(flow))
+    loss = loss_l1 + 0.1 * loss_smooth
+    metrics = {"loss": loss, "loss_l1": loss_l1, "loss_smooth": loss_smooth}
+    mask = jax.nn.sigmoid(out["mask"].astype(jnp.float32))
+    vis = {
+        "pred": pred, "gt": gt, "merged_tea": pred, "mask": mask,
+        "mask_tea": mask, "flow": flow[..., :2], "flow_tea": flow[..., :2],
+    }
+    return loss, (metrics, vis)
+
+
 def _loss_fn(params, batch, model_def: ModelDef, compute_dtype):
+    if model_def.name == "v4.25":
+        return _loss_fn_v425(params, batch, model_def, compute_dtype)
     img0 = batch["img0"].astype(compute_dtype)
     img1 = batch["img1"].astype(compute_dtype)
     gt = batch["gt"].astype(compute_dtype)
@@ -117,15 +154,18 @@ def make_eval_step(model_def: ModelDef, mesh=None, compute_dtype=jnp.float32):
         img0 = batch["img0"].astype(compute_dtype)
         img1 = batch["img1"].astype(compute_dtype)
         gt = batch["gt"].astype(jnp.float32)
+        kw = {} if model_def.name == "v4.25" else {
+            "gt": gt.astype(compute_dtype)}
         out = model_def.apply(
             params, img0, img1,
             timestep=batch.get("timestep", 0.5),
             scale_list=model_def.scale_list,
-            gt=gt.astype(compute_dtype),
             cfg=model_def.config,
+            **kw,
         )
         pred = out["merged"][-1].astype(jnp.float32)
-        tea = out["merged_teacher"].astype(jnp.float32)
+        # teacherless presets (v4.25) report the student twice
+        tea = out.get("merged_teacher", out["merged"][-1]).astype(jnp.float32)
 
         def psnr(a, b):
             mse = jnp.mean((a - b) ** 2, axis=(1, 2, 3))
