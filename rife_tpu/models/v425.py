@@ -14,9 +14,11 @@ Differences from the paper IFNet:
   (not accumulated) per level, and there is no contextnet/unet in
   fastmode — merged[-1] is the sigmoid-mask blend of the two warps.
 
-The reference's training update for this preset is broken (undefined
-`loss_cons`, train_log/RIFE_HDv3.py:78) so this model is inference-only
-here too; training targets the paper IFNet.
+The reference's training update for this preset cannot execute
+(undefined `loss_cons` and img0/img1 bound only on the inference branch,
+train_log/RIFE_HDv3.py:62-88).  Here the evident intent is implemented
+instead: `rife_tpu.cli.train --model v4.25` trains the teacherless
+L1 + 0.1*SOBEL(flow) objective (train/loop.py, docs/TRAINING.md).
 """
 from __future__ import annotations
 
