@@ -120,6 +120,93 @@ def pallas_core(x, params, *, interpret=False):
     return out.reshape(n, hp, wp, c)[:, 1:-1, 1:-1, :]
 
 
+# ------------------------------------------- Pallas v2: K-concat matmul
+# Hypothesis: v1's 9 per-tap dots round-trip the f32 accumulator through
+# VMEM 8 extra times per conv.  v2 lane-concatenates the 9 tap slices
+# per row-chunk into (R, 9*Cp) and does ONE K=9*Cp matmul, moving the
+# accumulation into the MXU's K-loop.  Channels are padded to Cp=256 so
+# every lane-concat offset is 128-aligned; ping-pong buffers because
+# chunked in-place writes would corrupt later chunks' taps.
+def _kernel2b(x_ref, w_ref, b_ref, a_ref, m_ref, o_ref, Ba, Bb, *,
+              Mp, G, nconv, R):
+    j = pl.program_id(1)
+    cp = Ba.shape[1]
+
+    @pl.when(j == 0)
+    def _init():
+        for B in (Ba, Bb):
+            B[pl.ds(0, G), :] = jnp.zeros((G, cp), B.dtype)
+            B[pl.ds(G + Mp, G), :] = jnp.zeros((G, cp), B.dtype)
+        Ba[pl.ds(G, Mp), :] = x_ref[0]
+
+    def step(src, dst):
+        for r0 in range(0, Mp, R):
+            xcat = jnp.concatenate(
+                [src[pl.ds(G + off + r0, R), :] for off in _kernel2b.offs], 1)
+            acc = jnp.dot(xcat, w_ref[0], preferred_element_type=jnp.float32)
+            acc = acc + b_ref[0].astype(jnp.float32)
+            y = jnp.where(acc >= 0, acc, acc * a_ref[0].astype(jnp.float32))
+            y = y.astype(dst.dtype) * m_ref[pl.ds(r0, R), :]
+            dst[pl.ds(G + r0, R), :] = y
+
+            @pl.when(j == nconv - 1)
+            def _emit():
+                o_ref[0, pl.ds(r0, R), :] = y + x_ref[0, pl.ds(r0, R), :]
+
+    @pl.when(j % 2 == 0)
+    def _even():
+        step(Ba, Bb)
+
+    @pl.when(j % 2 == 1)
+    def _odd():
+        step(Bb, Ba)
+
+
+def pallas_core_v2(x, params, *, interpret=False, chunk=492):
+    n, h, w_, c = x.shape
+    hp, wp = h + 2, w_ + 2
+    mp = hp * wp
+    g = ((wp + 1 + 7) // 8) * 8
+    nconv = len(params)
+    dt = x.dtype
+    cp = ((c + 255) // 256) * 256  # lane-aligned channel pad
+    while mp % chunk:
+        chunk -= 8  # need an exact row-chunk tiling
+    _kernel2b.offs = [(dy - 1) * wp + (dx - 1)
+                      for dy in range(3) for dx in range(3)]
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, cp - c))).reshape(n, mp, cp)
+    wcat = jnp.stack([
+        jnp.pad(p["conv"]["w"].astype(dt), ((0, 0), (0, 0), (0, cp - c),
+                                            (0, cp - c)))
+        .reshape(9 * cp, cp)
+        for p in params])
+    bk = jnp.stack([jnp.pad(p["conv"]["b"].astype(jnp.float32), (0, cp - c))
+                    .reshape(1, cp) for p in params])
+    ak = jnp.stack([jnp.pad(p["alpha"].astype(jnp.float32), (0, cp - c))
+                    .reshape(1, cp) for p in params])
+    im = jnp.zeros((hp, wp, cp), dt).at[1:-1, 1:-1, :].set(1.0).reshape(mp, cp)
+
+    kern = functools.partial(_kernel2b, Mp=mp, G=g, nconv=nconv, R=chunk)
+    out = pl.pallas_call(
+        kern,
+        grid=(n, nconv),
+        in_specs=[
+            pl.BlockSpec((1, mp, cp), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 9 * cp, cp), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, cp), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, cp), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((mp, cp), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, mp, cp), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, mp, cp), dt),
+        scratch_shapes=[pltpu.VMEM((g + mp + g, cp), dt),
+                        pltpu.VMEM((g + mp + g, cp), dt)],
+        interpret=interpret,
+    )(xp, wcat, bk, ak, im)
+    return out.reshape(n, hp, wp, cp)[:, 1:-1, 1:-1, :c]
+
+
 # ------------------------------------------------------------- harness
 def main():
     backend = jax.default_backend()
@@ -134,19 +221,20 @@ def main():
     x = (jax.random.uniform(ks[8], (N, H, W, C), jnp.float32) - 0.3).astype(dt)
 
     ref = np.asarray(jax.jit(xla_core)(x, params), np.float32)
-    got = np.asarray(pallas_core(x, params, interpret=interp), np.float32)
-    err = np.abs(ref - got)
     scale = np.abs(ref).mean() + 1e-6
-    print(f"[{backend}] parity: max abs {err.max():.4f}  mean rel "
-          f"{err.mean() / scale:.5f}  (ref mean |y| {scale:.3f})")
-    ok = err.mean() / scale < 2e-2  # bf16 chain, different accum order
-    print("PARITY", "OK" if ok else "FAIL")
+    for name, impl in [("v1", pallas_core), ("v2", pallas_core_v2)]:
+        got = np.asarray(impl(x, params, interpret=interp), np.float32)
+        err = np.abs(ref - got)
+        ok = err.mean() / scale < 2e-2  # bf16 chain, different accum order
+        print(f"[{backend}] {name} parity: max abs {err.max():.4f}  mean rel "
+              f"{err.mean() / scale:.5f}  ->", "OK" if ok else "FAIL")
     if backend != "tpu":
         return
 
     iters = 50
     for name, fn in [("xla", lambda a: xla_core(a, params)),
-                     ("pallas", lambda a: pallas_core(a, params))]:
+                     ("pallas_v1", lambda a: pallas_core(a, params)),
+                     ("pallas_v2", lambda a: pallas_core_v2(a, params))]:
         @jax.jit
         def chained(a):
             def body(i, a):
