@@ -78,8 +78,16 @@ class InferenceEngine:
             return mid, flow
         return mid
 
+    def _trace_key(self):
+        """Every knob the traced graph closes over (warp_impl is read
+        from the contextvar at trace time; scale_list/compute_dtype via
+        self).  Mutating any of these after a first call must retrace,
+        not silently serve the stale graph (round-3 VERDICT weak #4)."""
+        return (self.warp_impl, tuple(self.scale_list),
+                str(self.compute_dtype))
+
     def _get_fn(self, shape, tta: bool):
-        key = (shape, tta)
+        key = (shape, tta, self._trace_key())
         fn = self._cache.get(key)
         if fn is None:
             fn = jax.jit(functools.partial(self._forward, tta=tta))

@@ -15,8 +15,9 @@ Differences from the paper IFNet:
   fastmode — merged[-1] is the sigmoid-mask blend of the two warps.
 
 The reference's training update for this preset cannot execute
-(undefined `loss_cons` and img0/img1 bound only on the inference branch,
-train_log/RIFE_HDv3.py:62-88).  Here the evident intent is implemented
+(undefined `loss_cons`, train_log/RIFE_HDv3.py:62-88; and the forward
+binds img0 only when training==False, train_log/IFNet_HDv3.py:119-128).
+Here the evident intent is implemented
 instead: `rife_tpu.cli.train --model v4.25` trains the teacherless
 L1 + 0.1*SOBEL(flow) objective (train/loop.py, docs/TRAINING.md).
 """

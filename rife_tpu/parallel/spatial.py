@@ -60,7 +60,7 @@ def interpolate_batch_sharded(engine, mesh, img0, img1, timestep: float = 0.5,
     img1 = jax.device_put(img1, sh)
     params = jax.device_put(engine.params, rep)
 
-    key = ("dp", mesh, img0.shape, img0.dtype)
+    key = ("dp", mesh, img0.shape, img0.dtype, engine._trace_key())
     fn = engine._cache.get(key)
     if fn is None:
         fn = jax.jit(
@@ -97,6 +97,13 @@ def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
     - "raise": raise ValueError.
     - "ignore": return the slab result anyway (caller accepts clamping).
 
+    Tradeoffs: the guard costs ONE scalar device->host fetch per call
+    (a sync point — acceptable in this 4K latency mode, wrong for a
+    throughput loop; use interpolate_batch_sharded there).  Slabs are
+    split along H only (dim 1) and span the full width, which is why
+    only |flow_y| is guarded — a W-axis split would need an |flow_x|
+    guard too (asserted below so that extension can't silently skip it).
+
     Global top/bottom slabs get replicate-halos (their own edge row
     repeated) instead of the zeros ppermute leaves behind — much closer
     to the true frame-boundary behavior (conv zero-pad + warp border
@@ -116,7 +123,8 @@ def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
     img0 = jax.device_put(img0, sh)
     img1 = jax.device_put(img1, sh)
 
-    key = ("spatial", mesh, img0.shape, img0.dtype, margin)
+    key = ("spatial", mesh, img0.shape, img0.dtype, margin,
+           engine._trace_key())
     fn = engine._cache.get(key)
     if fn is None:
         fwd = functools.partial(engine._forward, tta=False, with_flow=True)
@@ -137,7 +145,10 @@ def interpolate_spatial(engine, mesh, img0, img1, timestep: float = 0.5,
                 return jnp.concatenate([top, x, bot], axis=1)
 
             out, flow = fwd(params, with_halo(a), with_halo(b), t)
-            # flow channels are (dx0, dy0, dx1, dy1): guard the y motion
+            # flow channels are (dx0, dy0, dx1, dy1): guard the y motion.
+            # Guarding ONLY y is sound iff the shard axis is H (slabs are
+            # full-width, so x-clamping never crosses a seam).
+            assert a.shape[2] == w, "W must not be sharded (flow_x unguarded)"
             mx = jnp.max(jnp.abs(flow[..., 1::2].astype(jnp.float32)))
             return out[:, margin:-margin], lax.pmax(mx, axis)
 

@@ -241,3 +241,58 @@ def test_v425_fast_mode_close_to_exact(rng):
     assert eng.model_def.config.fast_level0 is True
     out = np.asarray(eng.interpolate(img0, img1))
     assert out.shape == e.shape
+
+
+def test_cache_key_retrace_on_trace_time_knobs(monkeypatch, rng):
+    """Round-3 VERDICT weak #4: `engine._cache` keyed by (shape, tta)
+    only, but the traced graph closes over warp_impl (contextvar read at
+    trace time) and scale_list — mutating either after the first call
+    silently served the stale graph.  Assert the new impl is actually
+    traced."""
+    import importlib
+
+    # rife_tpu.ops re-exports a function named `warp`, shadowing the
+    # submodule on attribute access — resolve the module explicitly.
+    warp_mod = importlib.import_module("rife_tpu.ops.warp")
+    from_planes, to_planes, warp_xla = (
+        warp_mod.from_planes, warp_mod.to_planes, warp_mod.warp_xla)
+
+    pallas_calls = []
+
+    def fake_pallas_planes(img_pl, flow_pl):
+        pallas_calls.append(1)
+        return to_planes(warp_xla(from_planes(img_pl), from_planes(flow_pl)))
+
+    def fake_pallas_nhwc(img, flow):
+        pallas_calls.append(1)
+        return warp_xla(img, flow)
+
+    monkeypatch.setattr(warp_mod, "warp_planes_pallas_diff",
+                        fake_pallas_planes)
+    import rife_tpu.ops.pallas.warp as pw
+
+    monkeypatch.setattr(pw, "warp_pallas_diff", fake_pallas_nhwc)
+
+    eng = InferenceEngine("rife", seed=3, warp_impl="xla")
+    traces = []
+    orig_forward = eng._forward
+
+    def spy(*a, **k):
+        traces.append(1)  # runs once per TRACE, not per call
+        return orig_forward(*a, **k)
+
+    eng._forward = spy
+    a, b = _pair(rng)
+    eng.interpolate(a, b)
+    assert len(traces) == 1 and not pallas_calls
+    eng.interpolate(a, b)
+    assert len(traces) == 1  # same knobs: cached graph reused
+
+    eng.warp_impl = "pallas"
+    eng.interpolate(a, b)
+    assert len(traces) == 2, "warp_impl switch must retrace"
+    assert pallas_calls, "retrace must actually use the new impl"
+
+    eng.scale_list = tuple(s * 2 for s in eng.scale_list)
+    eng.interpolate(a, b)
+    assert len(traces) == 3, "scale_list mutation must retrace"

@@ -170,8 +170,11 @@ def pallas_core_v2(x, params, *, interpret=False, chunk=492):
     nconv = len(params)
     dt = x.dtype
     cp = ((c + 255) // 256) * 256  # lane-aligned channel pad
-    while mp % chunk:
-        chunk -= 8  # need an exact row-chunk tiling
+    # exact row-chunk tiling: largest multiple of 8 that divides mp
+    chunk = (chunk // 8) * 8
+    while chunk > 0 and mp % chunk:
+        chunk -= 8
+    assert chunk > 0, f"mp={mp} has no 8-multiple divisor <= requested chunk"
     _kernel2b.offs = [(dy - 1) * wp + (dx - 1)
                       for dy in range(3) for dx in range(3)]
 
