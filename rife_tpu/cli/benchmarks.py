@@ -40,7 +40,7 @@ def _engine(args) -> InferenceEngine:
                 ckpt = p
                 break
     return build_engine(ckpt if os.path.isfile(ckpt) else None, args.model,
-                        args.scale, args.dtype)
+                        args.scale, args.dtype, fast=getattr(args, "fast", False))
 
 
 def _ssim_rounded(gt01: np.ndarray, pred01: np.ndarray) -> float:
@@ -319,6 +319,9 @@ def main(argv=None):
         p.add_argument("--modelDir", type=str, default="train_log")
         p.add_argument("--scale", type=float, default=1.0)
         p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+        p.add_argument("--fast", action="store_true",
+                       help="measure the fast serving graph (benchmarks "
+                            "default to the exact graph for protocol parity)")
         p.add_argument("--clips", type=str, default=None,
                        help="override HD clip table: 'path:h:w,...'")
         p.add_argument("--warmup", type=int, default=100)

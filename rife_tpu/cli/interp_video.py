@@ -50,9 +50,16 @@ def main(argv=None):
     ap.add_argument("--model", type=str, default=None, choices=sorted(MODEL_REGISTRY))
     ap.add_argument("--modelDir", type=str, default="train_log")
     ap.add_argument("--dtype", type=str, default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--fast", action="store_true",
-                    help="half-res level-0 warps (~6%% faster, not exact; "
-                         "models/ifnet.py fast_level0)")
+    # fast is the DEFAULT serving graph: protocol-qualified at < 0.05 dB
+    # vs exact-f32 with trained weights (tests/test_benchmarks_golden.py
+    # test_fast_serving_psnr_cost_trained_weights; docs/PERFORMANCE.md
+    # "Fast-mode qualification").  --exact opts back into the bit-exact
+    # full-resolution graph.
+    ap.add_argument("--fast", dest="fast", action="store_true", default=True,
+                    help="coarse-level warps at consumer resolution "
+                         "(default; qualified < 0.05 dB vs exact)")
+    ap.add_argument("--exact", dest="fast", action="store_false",
+                    help="bit-exact full-res graph (reference parity mode)")
     args = ap.parse_args(argv)
 
     assert args.video is not None or args.img is not None, "need --video or --img"

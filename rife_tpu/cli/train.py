@@ -25,7 +25,13 @@ import numpy as np
 
 import jax
 
-from rife_tpu.data import SyntheticTriplets, VimeoTriplets, batch_iterator
+from rife_tpu.data import (
+    SyntheticSeptuplets,
+    SyntheticTriplets,
+    VimeoSeptuplets,
+    VimeoTriplets,
+    batch_iterator,
+)
 from rife_tpu.engine.checkpoint import load_params, save_params
 from rife_tpu.models.registry import MODEL_REGISTRY
 from rife_tpu.parallel import make_mesh, shard_batch, replicated_sharding
@@ -43,9 +49,17 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=16, help="global batch size")
     ap.add_argument("--data", type=str, default="vimeo_triplet")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data (smoke)")
+    ap.add_argument("--synthetic_n", type=int, default=None,
+                    help="synthetic dataset size (default 4*batch, min 64; "
+                         "sets the epoch length and thus checkpoint cadence)")
+    ap.add_argument("--septuplet", action="store_true",
+                    help="fractional-timestep training on Vimeo septuplets "
+                         "(3 of 7 frames, t=(i1-i0)/(i2-i0); the reference's "
+                         "commented-out RIFEm path, dataset.py:59-68). "
+                         "--data should point at vimeo_septuplet")
     ap.add_argument("--steps", type=int, default=None, help="stop after N steps (smoke)")
     ap.add_argument("--model", type=str, default="rife",
-                    choices=["rife", "rife_m", "rife_2r", "v4.25"])
+                    choices=["rife", "rife_m", "rife_2r", "v4.25", "hd", "hdv2"])
     ap.add_argument("--weight_decay", type=float, default=None,
                     help="AdamW wd (default 1e-3 paper / 1e-4 v4.25, "
                          "model/RIFE.py:25, train_log/RIFE_HDv3.py:19)")
@@ -53,6 +67,12 @@ def main(argv=None):
     ap.add_argument("--log_dir", type=str, default="train_log")
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--workers", type=int, default=8,
+                    help="loader threads per batch (reference: 8 DataLoader "
+                         "workers, train.py:49-50); 0 = inline")
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="batches assembled ahead on a background thread "
+                         "(0 = synchronous)")
     ap.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--vis_interval", type=int, default=1000,
                     help="image-panel cadence in steps (0 disables; ref train.py:75)")
@@ -76,11 +96,18 @@ def main(argv=None):
         f"global batch {args.batch_size} must divide {n_dev} devices"
     )
 
+    if args.septuplet and args.model not in ("rife_m", "v4.25"):
+        print(f"note: --septuplet varies timestep but --model {args.model} "
+              "has no timestep input (use rife_m or v4.25)")
     if args.synthetic:
-        train_ds = SyntheticTriplets(n=max(args.batch_size * 4, 64),
-                                     h=args.crop + 8, w=args.crop + 8)
-        val_ds = SyntheticTriplets(n=args.batch_size, h=args.crop + 8, w=args.crop + 8, seed=7)
+        cls = SyntheticSeptuplets if args.septuplet else SyntheticTriplets
+        train_ds = cls(n=args.synthetic_n or max(args.batch_size * 4, 64),
+                       h=args.crop + 8, w=args.crop + 8)
+        val_ds = cls(n=args.batch_size, h=args.crop + 8, w=args.crop + 8, seed=7)
         val_ds.split = "validation"
+    elif args.septuplet:
+        train_ds = VimeoSeptuplets(args.data, "train")
+        val_ds = VimeoSeptuplets(args.data, "validation")
     else:
         train_ds = VimeoTriplets(args.data, "train")
         val_ds = VimeoTriplets(args.data, "validation")
@@ -97,10 +124,19 @@ def main(argv=None):
         args.crop = new_crop
     wd = args.weight_decay
     if wd is None:
-        wd = 1e-4 if args.model == "v4.25" else 1e-3
+        # v4.25 and the legacy presets use AdamW wd=1e-4
+        # (train_log/RIFE_HDv3.py optimizer; oldmodel/RIFE_HD.py:135-138)
+        wd = 1e-4 if args.model in ("v4.25", "hd", "hdv2") else 1e-3
+    sched_override = None
+    if args.model in ("hd", "hdv2"):
+        # legacy scheduler: CyclicLR 1e-6 <-> 1e-3, 8000 up
+        # (oldmodel/RIFE_HD.py:139-140)
+        from rife_tpu.train.lr import cyclic_lr_schedule
+
+        sched_override = cyclic_lr_schedule(world_scale=world_scale)
     state, tx, schedule = train_init(model_def, total_steps=total_steps,
                                      seed=args.seed, world_scale=world_scale,
-                                     weight_decay=wd)
+                                     weight_decay=wd, schedule=sched_override)
     if args.resume:
         tree, meta = load_params(args.resume)
         # The on-disk tree is plain lists/dicts; restore into the live
@@ -142,7 +178,8 @@ def main(argv=None):
     logger = MetricLogger(args.log_dir)
     batches = batch_iterator(train_ds, args.batch_size, seed=args.seed, crop=args.crop,
                              process_index=jax.process_index(),
-                             process_count=jax.process_count())
+                             process_count=jax.process_count(),
+                             workers=args.workers, prefetch=args.prefetch)
     step = int(state.step)
     t_data = t_train = 0.0
     t0 = time.perf_counter()
@@ -198,6 +235,8 @@ def main(argv=None):
         if step >= total_steps:
             break
         t0 = time.perf_counter()
+    if hasattr(batches, "close"):
+        batches.close()  # stop the prefetch producer thread
     logger.close()
     print(f"training done at step {step}")
 

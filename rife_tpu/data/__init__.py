@@ -1,3 +1,15 @@
-from rife_tpu.data.vimeo import VimeoTriplets, SyntheticTriplets, batch_iterator
+from rife_tpu.data.vimeo import (
+    SyntheticSeptuplets,
+    SyntheticTriplets,
+    VimeoSeptuplets,
+    VimeoTriplets,
+    batch_iterator,
+)
 
-__all__ = ["VimeoTriplets", "SyntheticTriplets", "batch_iterator"]
+__all__ = [
+    "VimeoTriplets",
+    "VimeoSeptuplets",
+    "SyntheticTriplets",
+    "SyntheticSeptuplets",
+    "batch_iterator",
+]

@@ -14,6 +14,14 @@ Host-side numpy pipeline feeding the sharded device batch:
 Multi-host: each process takes a strided shard of the index space,
 replacing DistributedSampler (train.py:49).
 
+Async input: `batch_iterator(workers=N, prefetch=D)` replaces the
+reference's 8-worker DataLoader + pin_memory (train.py:49-50) — item
+decode+augment fans out over a thread pool (cv2 releases the GIL) and
+whole-batch assembly runs on a background thread behind a depth-D
+bounded queue, so the device step overlaps host input.  Augment draws
+use a per-(epoch, slot) RNG: the sample stream is identical for every
+(workers, prefetch) setting (tested).
+
 SyntheticTriplets generates linearly-moving-square sequences so that
 training/eval paths are exercisable (and loss-decrease testable) without
 the external dataset.
@@ -54,6 +62,94 @@ class VimeoTriplets:
             raise FileNotFoundError(p)
         img0, gt, img1 = frames
         return img0, gt, img1, 0.5
+
+
+class VimeoSeptuplets:
+    """Vimeo90K septuplet sampler for fractional-timestep (RIFEm)
+    training — the reference's commented-out path (dataset.py:59-68):
+    pick 3 of the 7 frames (sorted), gt is the middle one, and
+    timestep = (i1-i0)/(i2-i0+1e-6).  The time-swap augmentation in
+    `_augment` then maps t -> 1-t like the triplet path.
+
+    Sampling is resampled on every visit of an index (a fresh
+    (seed, index, visit) RNG — itertools ticket, thread-safe under the
+    loader pool), mirroring the reference's per-epoch random.shuffle.
+    """
+
+    def __init__(self, root: str, split: str = "train", seed: int = 0):
+        import itertools
+
+        self.root = root
+        self.image_root = os.path.join(root, "sequences")
+        with open(os.path.join(root, "sep_trainlist.txt")) as f:
+            trainlist = [l for l in f.read().splitlines() if l]
+        cnt = int(len(trainlist) * 0.95)
+        if split == "train":
+            self.items = trainlist[:cnt]
+        elif split == "validation":
+            self.items = trainlist[cnt:]
+        else:
+            with open(os.path.join(root, "sep_testlist.txt")) as f:
+                self.items = [l for l in f.read().splitlines() if l]
+        self.split = split
+        self.seed = seed
+        self._ticket = itertools.count()
+
+    def __len__(self):
+        return len(self.items)
+
+    def _pick(self, rng):
+        ind = rng.permutation(7)[:3]
+        ind.sort()
+        t = (ind[1] - ind[0]) / (ind[2] - ind[0] + 1e-6)
+        return ind, float(t)
+
+    def load(self, index: int):
+        import cv2
+
+        rng = np.random.default_rng([self.seed, index, next(self._ticket)])
+        ind, t = self._pick(rng)
+        p = os.path.join(self.image_root, self.items[index])
+        frames = [cv2.imread(os.path.join(p, f"im{i + 1}.png")) for i in ind]
+        if any(f is None for f in frames):
+            raise FileNotFoundError(p)
+        img0, gt, img1 = frames
+        return img0, gt, img1, t
+
+
+class SyntheticSeptuplets:
+    """7-frame moving-pattern sequences with the septuplet sampling
+    semantics (t = (i1-i0)/(i2-i0)) — dataset-free fractional-t
+    training/tests for rife_m and v4.25."""
+
+    def __init__(self, n: int = 256, h: int = 256, w: int = 448, seed: int = 0):
+        import itertools
+
+        self.n, self.h, self.w = n, h, w
+        self.seed = seed
+        self.split = "train"
+        self._ticket = itertools.count()
+
+    def __len__(self):
+        return self.n
+
+    def load(self, index: int):
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        h, w = self.h, self.w
+        bg = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        bg = (bg.astype(np.float32) + np.roll(bg, 1, 0) + np.roll(bg, 1, 1)) / 3
+        # per-step motion small enough that the 6-step span stays learnable
+        dx, dy = rng.integers(-4, 5, 2)
+        pick_rng = np.random.default_rng(
+            [self.seed, index, next(self._ticket)])
+        ind = pick_rng.permutation(7)[:3]
+        ind.sort()
+        t = float((ind[1] - ind[0]) / (ind[2] - ind[0] + 1e-6))
+        frames = []
+        for i in ind:
+            img = np.roll(np.roll(bg, int(dy * i), 0), int(dx * i), 1)
+            frames.append(img.astype(np.uint8))
+        return frames[0], frames[1], frames[2], t
 
 
 class SyntheticTriplets:
@@ -111,38 +207,132 @@ def _augment(img0, gt, img1, timestep, rng: np.random.Generator, crop: int = 224
     return img0, gt, img1, timestep
 
 
+class _PrefetchIterator:
+    """Bounded background-thread prefetch (double buffer at depth 2).
+
+    TPU-native replacement for the reference's DataLoader worker pool +
+    pin_memory (train.py:49-50): the generator (decode + augment +
+    u8->f32) runs on a daemon thread while the main thread sits in the
+    device step, so steady-state t_data is only a queue pop.  Generator
+    exceptions propagate to the consumer; `close()` stops the producer.
+    """
+
+    _DONE = object()
+
+    def __init__(self, gen, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _run():
+            try:
+                for item in gen:
+                    if not _put(item):
+                        return
+                _put(self._DONE)
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                _put(e)
+
+        self._thread = threading.Thread(target=_run, daemon=True,
+                                        name="rife-tpu-prefetch")
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def close(self):
+        self._stop.set()
+
+
 def batch_iterator(dataset, batch_size: int, *, seed: int = 1234, crop: int = 224,
                    process_index: int = 0, process_count: int = 1,
-                   epochs: int | None = None, augment: bool | None = None) -> Iterator[dict]:
-    """Yields dicts of NHWC float32 batches {img0, img1, gt, timestep}."""
+                   epochs: int | None = None, augment: bool | None = None,
+                   workers: int = 0, prefetch: int = 0) -> Iterator[dict]:
+    """Yields dicts of NHWC float32 batches {img0, img1, gt, timestep}.
+
+    workers > 0: items of a batch are decoded+augmented concurrently on a
+    thread pool (cv2.imread releases the GIL).  prefetch > 0: the whole
+    batch assembly runs on a background thread with a bounded queue of
+    that depth, overlapping host input with the device step.  Augment
+    draws come from a per-(epoch, slot) RNG, so the sample stream is
+    IDENTICAL for every (workers, prefetch) setting.
+    """
+    gen = _batch_gen(dataset, batch_size, seed=seed, crop=crop,
+                     process_index=process_index, process_count=process_count,
+                     epochs=epochs, augment=augment, workers=workers)
+    if prefetch > 0:
+        return _PrefetchIterator(gen, depth=prefetch)
+    return gen
+
+
+def _batch_gen(dataset, batch_size: int, *, seed: int, crop: int,
+               process_index: int, process_count: int,
+               epochs: int | None, augment: bool | None,
+               workers: int) -> Iterator[dict]:
     if augment is None:
         augment = dataset.split == "train"
-    epoch = 0
-    order_rng = np.random.default_rng(seed)
-    while epochs is None or epoch < epochs:
-        idx = np.arange(len(dataset))
-        order_rng.shuffle(idx)
-        idx = idx[process_index::process_count]
-        aug_rng = np.random.default_rng(seed * 7919 + epoch)
-        for start in range(0, len(idx) - batch_size + 1, batch_size):
-            b0, bg, b1, bt = [], [], [], []
-            for i in idx[start : start + batch_size]:
+    pool = None
+    if workers > 0:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=workers,
+                                  thread_name_prefix="rife-tpu-loader")
+    try:
+        epoch = 0
+        order_rng = np.random.default_rng(seed)
+        while epochs is None or epoch < epochs:
+            idx = np.arange(len(dataset))
+            order_rng.shuffle(idx)
+            idx = idx[process_index::process_count]
+
+            def load_one(slot_i):
+                slot, i = slot_i
                 img0, gt, img1, t = dataset.load(int(i))
                 if augment:
-                    img0, gt, img1, t = _augment(img0, gt, img1, t, aug_rng, crop)
-                b0.append(np.ascontiguousarray(img0))
-                bg.append(np.ascontiguousarray(gt))
-                b1.append(np.ascontiguousarray(img1))
-                bt.append(t)
-            # Whole-batch u8 -> [0,1] through the native frameops library
-            # (threaded C++, numpy fallback) — the host-side cost on the
-            # training input path.
-            from rife_tpu.native import u8_to_f32
+                    # per-(epoch, slot) RNG: deterministic under any
+                    # worker count / scheduling order
+                    rng = np.random.default_rng(
+                        [seed, 7919 + epoch, int(slot)])
+                    img0, gt, img1, t = _augment(img0, gt, img1, t, rng, crop)
+                return (np.ascontiguousarray(img0), np.ascontiguousarray(gt),
+                        np.ascontiguousarray(img1), t)
 
-            yield {
-                "img0": u8_to_f32(np.stack(b0)),
-                "img1": u8_to_f32(np.stack(b1)),
-                "gt": u8_to_f32(np.stack(bg)),
-                "timestep": np.asarray(bt, np.float32),
-            }
-        epoch += 1
+            for start in range(0, len(idx) - batch_size + 1, batch_size):
+                slots = list(enumerate(idx[start : start + batch_size], start))
+                items = list(pool.map(load_one, slots)) if pool \
+                    else [load_one(s) for s in slots]
+                b0, bg, b1, bt = zip(*items)
+                # Whole-batch u8 -> [0,1] through the native frameops
+                # library (threaded C++, numpy fallback) — the host-side
+                # cost on the training input path.
+                from rife_tpu.native import u8_to_f32
+
+                yield {
+                    "img0": u8_to_f32(np.stack(b0)),
+                    "img1": u8_to_f32(np.stack(b1)),
+                    "gt": u8_to_f32(np.stack(bg)),
+                    "timestep": np.asarray(bt, np.float32),
+                }
+            epoch += 1
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)

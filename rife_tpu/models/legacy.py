@@ -152,7 +152,11 @@ def hdv2_apply(params, img0, img1, *, timestep=0.5, scale_list=(1.0,),
     xs = scale_by(x, 1.0 / d) if d != 1 else x
 
     # --- IFNet (IFNet_HDv2.py:56-86): accumulate half-res flow.
+    # flow_list keeps each block's accumulated flow (the reference's
+    # IFNet returns it for the EPE consistency term of the training
+    # objective, RIFE_HDv2.py:210-227); [-1] is the final flow.
     flow = _hdv2_block_apply(params["block0"], xs, cfg.block_scales[0])
+    flow_list = [flow]
     for i in (1, 2, 3):
         f_large = scale_by(flow, 2.0) * 2.0
         w0, w1 = warp2(xs[..., :3], xs[..., 3:], f_large[..., 0:2], f_large[..., 2:4])
@@ -160,8 +164,10 @@ def hdv2_apply(params, img0, img1, *, timestep=0.5, scale_list=(1.0,),
             params[f"block{i}"], cat([w0, w1, f_large], -1), cfg.block_scales[i]
         )
         flow = flow + res
+        flow_list.append(flow)
     if d != 1:
         flow = scale_by(flow, d) * d
+        flow_list = [scale_by(f, d) * d for f in flow_list]
 
     # --- predict (RIFE_HDv2.py:176-193)
     c0 = _hdv2_context(params["contextnet"], img0, flow[..., 0:2])
@@ -189,7 +195,7 @@ def hdv2_apply(params, img0, img1, *, timestep=0.5, scale_list=(1.0,),
     mask = jax.nn.sigmoid(refine[..., 3:4])
     merged = warped0 * mask + warped1 * (1 - mask)
     pred = jnp.clip(merged + res, 0.0, 1.0)
-    return {"flow_list": [flow], "mask": mask, "merged": [merged, pred]}
+    return {"flow_list": flow_list, "mask": mask, "merged": [merged, pred]}
 
 
 # --------------------------------------------------------------------------
@@ -312,14 +318,20 @@ def hd_apply(params, img0, img1, *, timestep=0.5, scale_list=(1.0,),
     # --- flownet on 0.5*scale input; flow accumulates across 4 blocks.
     x = scale_by(cat([img0, img1], -1), 0.5 * s)
     flow = _hd_block_apply(params["block0"], x, cfg.block_scales[0])
+    # per-block accumulated flows for the training EPE term (the v1
+    # update consumes flownet's flow_list, RIFE_HD.py:222-239; note v1
+    # flow is UNIdirectional 2ch: +F warps img0, -F warps img1)
+    flow_list = [flow]
     for i in (1, 2, 3):
         w0 = warp(x[..., :3], flow)
         w1 = warp(x[..., 3:], -flow)
         res = _hd_block_apply(params[f"block{i}"], cat([w0, w1, flow], -1),
                               cfg.block_scales[i])
         flow = flow + res
+        flow_list.append(flow)
     if s != 1:
         flow = scale_by(flow, 1.0 / s) / s
+        flow_list = [scale_by(f, 1.0 / s) / s for f in flow_list]
     # flow is now at 1/2 the input resolution.
 
     # --- predict (RIFE_HD.py:192-210)
@@ -346,4 +358,4 @@ def hd_apply(params, img0, img1, *, timestep=0.5, scale_list=(1.0,),
     mask = jax.nn.sigmoid(refine[..., 3:4])
     merged = warped0 * mask + warped1 * (1 - mask)
     pred = jnp.clip(merged + res, 0.0, 1.0)
-    return {"flow_list": [flow], "mask": mask, "merged": [merged, pred]}
+    return {"flow_list": flow_list, "mask": mask, "merged": [merged, pred]}

@@ -18,7 +18,10 @@ AUTH_USERNAME = os.environ.get("AUTH_USERNAME")
 AUTH_PASSWORD = os.environ.get("AUTH_PASSWORD")
 # opt-in fast serving mode (half-res level-0 warps, not exact — see
 # docs/PERFORMANCE.md "Fast serving mode")
-FAST_MODE = os.environ.get("RIFE_TPU_FAST", "0") not in ("0", "", "false")
+# fast serving graph is the qualified default (< 0.05 dB vs exact with
+# trained weights through the Vimeo protocol, docs/PERFORMANCE.md
+# "Fast-mode qualification"); RIFE_TPU_FAST=0 opts out.
+FAST_MODE = os.environ.get("RIFE_TPU_FAST", "1") not in ("0", "", "false")
 
 
 def ensure_dirs():

@@ -1,5 +1,5 @@
 from rife_tpu.train.losses import epe_loss, ternary_loss, sobel_loss
-from rife_tpu.train.lr import warmup_cosine_schedule
+from rife_tpu.train.lr import cyclic_lr_schedule, warmup_cosine_schedule
 from rife_tpu.train.loop import TrainState, make_train_step, make_eval_step, train_init
 
 __all__ = [
@@ -7,6 +7,7 @@ __all__ = [
     "ternary_loss",
     "sobel_loss",
     "warmup_cosine_schedule",
+    "cyclic_lr_schedule",
     "TrainState",
     "make_train_step",
     "make_eval_step",

@@ -34,9 +34,12 @@ class TrainState:
 
 def train_init(model_def: ModelDef, *, total_steps: int, seed: int = 1234,
                world_scale: float = 1.0, weight_decay: float = 1e-3,
-               peak_lr: float = 3e-4):
-    """Returns (state, optimizer, schedule)."""
-    schedule = warmup_cosine_schedule(total_steps, peak=peak_lr, world_scale=world_scale)
+               peak_lr: float = 3e-4, schedule=None):
+    """Returns (state, optimizer, schedule).  Default schedule is the
+    reference's warmup+cosine; legacy presets pass a cyclic one."""
+    if schedule is None:
+        schedule = warmup_cosine_schedule(total_steps, peak=peak_lr,
+                                          world_scale=world_scale)
     tx = optax.adamw(learning_rate=schedule, weight_decay=weight_decay)
     params = model_def.init(jax.random.PRNGKey(seed), model_def.config)
     state = TrainState(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
@@ -78,9 +81,60 @@ def _loss_fn_v425(params, batch, model_def: ModelDef, compute_dtype):
     return loss, (metrics, vis)
 
 
+def _loss_fn_legacy(params, batch, model_def: ModelDef, compute_dtype):
+    """v1/v2 objective (model/oldmodel/RIFE_HD.py:215-249 /
+    RIFE_HDv2.py:200-238): Charbonnier L1 + ternary census, plus
+    0.01 * EPE flow consistency against `flow_gt` WHEN the batch
+    provides one (the reference's update requires flow_gt
+    unconditionally on the training branch, but no shipped dataset
+    carries flow ground truth — theirs included, dataset.py returns
+    imgs+timestep only — so here the term is gated on availability,
+    matching the eval branch's loss_cons = 0 otherwise).
+
+    v1's flow is unidirectional 2ch: the reference compares flow_list[i]
+    vs flow_gt[:, :2] and -flow_list[i] vs flow_gt[:, 2:4]
+    (RIFE_HD.py:236-238); v2's is bidirectional 4ch, compared slice to
+    slice (RIFE_HDv2.py:222-224).  flow_gt here is NHWC 4ch at the
+    flownet's half resolution."""
+    from rife_tpu.train.losses import epe_loss, ternary_loss
+
+    img0 = batch["img0"].astype(compute_dtype)
+    img1 = batch["img1"].astype(compute_dtype)
+    gt = batch["gt"].astype(jnp.float32)
+    out = model_def.apply(params, img0, img1,
+                          scale_list=model_def.scale_list,
+                          cfg=model_def.config)
+    pred = out["merged"][-1].astype(jnp.float32)
+    loss_l1 = jnp.sqrt((pred - gt) ** 2 + 1e-6).mean()
+    loss_ter = ternary_loss(pred, gt).mean()
+    loss_cons = jnp.zeros((), jnp.float32)
+    if "flow_gt" in batch:
+        fgt = batch["flow_gt"].astype(jnp.float32)
+        ones = jnp.ones_like(fgt[..., :1])
+        for f in out["flow_list"]:
+            f = f.astype(jnp.float32)
+            if f.shape[-1] == 2:  # v1 unidirectional
+                loss_cons += epe_loss(f, fgt[..., :2], ones).mean()
+                loss_cons += epe_loss(-f, fgt[..., 2:4], ones).mean()
+            else:
+                loss_cons += epe_loss(f[..., :2], fgt[..., :2], ones).mean()
+                loss_cons += epe_loss(f[..., 2:4], fgt[..., 2:4], ones).mean()
+        loss_cons = loss_cons * 0.01
+    loss = loss_l1 + loss_cons + loss_ter
+    metrics = {"loss": loss, "loss_l1": loss_l1, "loss_ter": loss_ter,
+               "loss_cons": loss_cons}
+    mask = out["mask"].astype(jnp.float32)
+    flow = out["flow_list"][-1][..., :2].astype(jnp.float32)
+    vis = {"pred": pred, "gt": gt, "merged_tea": pred, "mask": mask,
+           "mask_tea": mask, "flow": flow, "flow_tea": flow}
+    return loss, (metrics, vis)
+
+
 def _loss_fn(params, batch, model_def: ModelDef, compute_dtype):
     if model_def.name == "v4.25":
         return _loss_fn_v425(params, batch, model_def, compute_dtype)
+    if model_def.name in ("hd", "hdv2"):
+        return _loss_fn_legacy(params, batch, model_def, compute_dtype)
     img0 = batch["img0"].astype(compute_dtype)
     img1 = batch["img1"].astype(compute_dtype)
     gt = batch["gt"].astype(compute_dtype)
@@ -154,8 +208,10 @@ def make_eval_step(model_def: ModelDef, mesh=None, compute_dtype=jnp.float32):
         img0 = batch["img0"].astype(compute_dtype)
         img1 = batch["img1"].astype(compute_dtype)
         gt = batch["gt"].astype(jnp.float32)
-        kw = {} if model_def.name == "v4.25" else {
-            "gt": gt.astype(compute_dtype)}
+        # only the student/teacher family takes a gt kwarg (distill
+        # branch); v4.25 and the legacy presets do not
+        kw = {"gt": gt.astype(compute_dtype)} \
+            if model_def.name in ("rife", "rife_m", "rife_2r") else {}
         out = model_def.apply(
             params, img0, img1,
             timestep=batch.get("timestep", 0.5),

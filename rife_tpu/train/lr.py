@@ -9,6 +9,24 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def cyclic_lr_schedule(*, base: float = 1e-6, peak: float = 1e-3,
+                       step_size_up: int = 8000, world_scale: float = 1.0):
+    """Triangular cyclic LR — the legacy v1/v2 presets' scheduler
+    (CyclicLR(base_lr=1e-6, max_lr=1e-3, step_size_up=8000),
+    model/oldmodel/RIFE_HD.py:139-140 / RIFE_HDv2.py analog): linear
+    base->peak over step_size_up steps, back down over the same, repeat.
+    """
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle_pos = jnp.mod(step, 2.0 * step_size_up)
+        up = cycle_pos / step_size_up          # 0..2 over one cycle
+        frac = jnp.where(up <= 1.0, up, 2.0 - up)
+        return (base + (peak - base) * frac) * world_scale
+
+    return schedule
+
+
 def warmup_cosine_schedule(total_steps: int, *, peak: float = 3e-4, floor: float = 3e-6,
                            warmup_steps: int = 2000, world_scale: float = 1.0):
     def schedule(step):
