@@ -96,6 +96,13 @@ def main(argv=None):
         f"global batch {args.batch_size} must divide {n_dev} devices"
     )
 
+    model_def = MODEL_REGISTRY[args.model]
+    pm = model_def.pad_multiple
+    if args.crop % pm:
+        new_crop = max(pm, args.crop // pm * pm)
+        print(f"crop {args.crop} -> {new_crop} ({args.model} needs %{pm})")
+        args.crop = new_crop
+
     if args.septuplet and args.model not in ("rife_m", "v4.25"):
         print(f"note: --septuplet varies timestep but --model {args.model} "
               "has no timestep input (use rife_m or v4.25)")
@@ -103,7 +110,10 @@ def main(argv=None):
         cls = SyntheticSeptuplets if args.septuplet else SyntheticTriplets
         train_ds = cls(n=args.synthetic_n or max(args.batch_size * 4, 64),
                        h=args.crop + 8, w=args.crop + 8)
-        val_ds = cls(n=args.batch_size, h=args.crop + 8, w=args.crop + 8, seed=7)
+        # validation batches are NOT cropped (augment=False, like the
+        # reference full-frame evaluate) — size the synthetic val frames
+        # at the pad-aligned crop itself so the pyramid divides.
+        val_ds = cls(n=args.batch_size, h=args.crop, w=args.crop, seed=7)
         val_ds.split = "validation"
     elif args.septuplet:
         train_ds = VimeoSeptuplets(args.data, "train")
@@ -116,12 +126,6 @@ def main(argv=None):
     total_steps = args.steps or (steps_per_epoch * args.epoch)
     world_scale = args.batch_size / 64.0  # reference: 4 ranks x batch16 => x1
 
-    model_def = MODEL_REGISTRY[args.model]
-    pm = model_def.pad_multiple
-    if args.crop % pm:
-        new_crop = max(pm, args.crop // pm * pm)
-        print(f"crop {args.crop} -> {new_crop} ({args.model} needs %{pm})")
-        args.crop = new_crop
     wd = args.weight_decay
     if wd is None:
         # v4.25 and the legacy presets use AdamW wd=1e-4

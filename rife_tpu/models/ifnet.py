@@ -37,7 +37,8 @@ from rife_tpu.models.refine import (
     unet_apply,
 )
 from rife_tpu.ops import (from_planes, plane_down2, plane_down_int, plane_up,
-                          scale_by, to_planes, warp2_planes)
+                          scale_by, to_planes, warp2_blend_planes,
+                          warp2_planes)
 
 
 def _even_int(s) -> bool:
@@ -294,6 +295,18 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             # half res) and by the dead merged[0] blend — placeholders
             # keep the pytree shape; XLA DCEs the blend.
             merged.append((img0_pl, img1_pl))
+        elif i == 2 and gt is None:
+            # Final level, inference: fuse the pair warp with the
+            # sigmoid-mask blend epilogue (reference IFNet.py:82,99 —
+            # one kernel instead of warp pair + XLA blend; w0/w1 are
+            # co-emitted only when the U-Net concat still needs them).
+            fused = warp2_blend_planes(img0_pl, img1_pl, flow_pl,
+                                       mask_pl, need_pair=do_refine)
+            if do_refine:
+                blend_final_pl, w0_pl, w1_pl = fused
+            else:
+                blend_final_pl = fused
+            merged.append((img0_pl, img1_pl))  # placeholder (overridden)
         else:
             w0_pl, w1_pl = warp2_planes(
                 img0_pl, img1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
@@ -328,8 +341,11 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
     # Blend in plane layout; convert API outputs to NHWC at the end
     # (inference keeps only merged[-1], XLA DCEs the rest).
     for i in range(3):
-        merged[i] = from_planes(
-            merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i]))
+        if i == 2 and gt is None:
+            merged[i] = from_planes(blend_final_pl)  # fused epilogue
+        else:
+            merged[i] = from_planes(
+                merged[i][0] * mask_list[i] + merged[i][1] * (1 - mask_list[i]))
     flow_list = [from_planes(f) for f in flow_list]
     mask_list = [from_planes(m) for m in mask_list]
 

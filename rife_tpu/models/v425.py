@@ -37,7 +37,7 @@ from rife_tpu.nn import (
     pixel_shuffle,
 )
 from rife_tpu.ops import (from_planes, plane_down_int, plane_up, scale_by,
-                          to_planes, warp2_planes)
+                          to_planes, warp2_blend_planes, warp2_planes)
 
 
 @dataclass(frozen=True)
@@ -253,15 +253,18 @@ def v425_apply(params, img0, img1, *, timestep=0.5,
             w0_pl, w1_pl = wp0_pl[:, 0:3], wp1_pl[:, 0:3]
             merged.append((from_planes(w0_pl), from_planes(w1_pl)))
         elif last:
-            w0_pl, w1_pl = warp2_planes(
-                img0_pl, img1_pl, flow_pl[:, 0:2], flow_pl[:, 2:4])
-            merged.append((from_planes(w0_pl), from_planes(w1_pl)))
+            # Final level: pair warp fused with the sigmoid-mask blend
+            # (train_log/IFNet_HDv3.py:163-168) — nothing downstream
+            # consumes w0/w1 separately (no refine stage in fastmode),
+            # so the fused kernel emits ONLY the blended frame.
+            blend_pl = warp2_blend_planes(img0_pl, img1_pl, flow_pl,
+                                          mask_pl, need_pair=False)
+            merged.append(None)  # replaced with the blend below
         else:
             # fast mode: this level's warps are consumed only by the
             # next block, at 1/s_{i+1} — warped there instead
             merged.append(None)
 
-    mask_s = jax.nn.sigmoid(mask_pl)
-    merged[-1] = from_planes(w0_pl * mask_s + w1_pl * (1 - mask_s))
+    merged[-1] = from_planes(blend_pl)
     return {"flow_list": flow_list, "mask": from_planes(mask_list[-1]),
             "merged": merged}

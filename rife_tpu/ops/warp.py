@@ -108,6 +108,93 @@ def warp2_planes(img_a: jnp.ndarray, img_b: jnp.ndarray, flow_a: jnp.ndarray,
     return both[:n], both[n:]
 
 
+_FUSE_BLEND = contextvars.ContextVar("rife_tpu_fuse_blend", default=True)
+
+
+def _blend_composed(img_a, img_b, flow_pl, mask_pl):
+    """Composed (differentiable) pair warp + blend, bf16 outputs to
+    match the fused kernel's primal dtypes."""
+    w0, w1 = warp2_planes(img_a, img_b, flow_pl[:, 0:2], flow_pl[:, 2:4])
+    sig = jax.nn.sigmoid(mask_pl)
+    blend = w0 * sig + w1 * (1 - sig)
+    return (blend.astype(jnp.bfloat16), w0.astype(jnp.bfloat16),
+            w1.astype(jnp.bfloat16))
+
+
+@jax.custom_vjp
+def _warp_blend_pair_fused(img_a, img_b, flow_pl, mask_pl):
+    from rife_tpu.ops.pallas.warp_blend import warp_pair_blend_pl
+
+    return warp_pair_blend_pl(img_a, img_b, flow_pl, mask_pl,
+                              emit_pair=True)
+
+
+def _wbp_fwd(img_a, img_b, flow_pl, mask_pl):
+    return (_warp_blend_pair_fused(img_a, img_b, flow_pl, mask_pl),
+            (img_a, img_b, flow_pl, mask_pl))
+
+
+def _wbp_bwd(res, g):
+    # Backward through the composed formulation (warp2_planes carries
+    # the Pallas kernel-grad VJP) — the fused kernel stays primal-only.
+    return jax.vjp(_blend_composed, *res)[1](g)
+
+
+_warp_blend_pair_fused.defvjp(_wbp_fwd, _wbp_bwd)
+
+
+@jax.custom_vjp
+def _warp_blend_only_fused(img_a, img_b, flow_pl, mask_pl):
+    from rife_tpu.ops.pallas.warp_blend import warp_pair_blend_pl
+
+    return warp_pair_blend_pl(img_a, img_b, flow_pl, mask_pl,
+                              emit_pair=False)
+
+
+def _wbo_fwd(img_a, img_b, flow_pl, mask_pl):
+    return (_warp_blend_only_fused(img_a, img_b, flow_pl, mask_pl),
+            (img_a, img_b, flow_pl, mask_pl))
+
+
+def _wbo_bwd(res, g):
+    return jax.vjp(lambda *a: _blend_composed(*a)[0], *res)[1](g)
+
+
+_warp_blend_only_fused.defvjp(_wbo_fwd, _wbo_bwd)
+
+
+def warp2_blend_planes(img_a: jnp.ndarray, img_b: jnp.ndarray,
+                       flow_pl: jnp.ndarray, mask_pl: jnp.ndarray,
+                       need_pair: bool = True):
+    """Final-level pair warp fused with the sigmoid-mask blend
+    (reference model/IFNet.py:82,99).
+
+    flow_pl: (N, 4, H, W) both directions; mask_pl: (N, 1, H, W)
+    PRE-sigmoid.  Returns (blend, w0, w1) when need_pair (the paper
+    model's U-Net consumes the warps too) else just blend.
+
+    Pallas impl: one program warps both images of the pair and emits
+    the blend from the output stage (ops/pallas/warp_blend.py) — w0/w1
+    are bit-exact vs warp2_planes, the blend is within one bf16 ulp of
+    the composed blend (single f32 rounding instead of bf16 products).
+    Differentiation routes through the composed ops (kernel-grad warp
+    VJP); the fused kernel is primal-only.  XLA impl composes the
+    exact ops unchanged.  `_FUSE_BLEND` (contextvar, default on) is the
+    A/B switch for measurement harnesses."""
+    if _WARP_IMPL.get() == "pallas" and _FUSE_BLEND.get():
+        if need_pair:
+            blend, w0, w1 = _warp_blend_pair_fused(img_a, img_b, flow_pl,
+                                                   mask_pl)
+            return (blend.astype(img_a.dtype), w0.astype(img_a.dtype),
+                    w1.astype(img_a.dtype))
+        out = _warp_blend_only_fused(img_a, img_b, flow_pl, mask_pl)
+        return out.astype(img_a.dtype)
+    w0, w1 = warp2_planes(img_a, img_b, flow_pl[:, 0:2], flow_pl[:, 2:4])
+    sig = jax.nn.sigmoid(mask_pl)
+    blend = w0 * sig + w1 * (1 - sig)
+    return (blend, w0, w1) if need_pair else blend
+
+
 def warp_xla_planes(img_pl: jnp.ndarray, flow_pl: jnp.ndarray) -> jnp.ndarray:
     """Exact gather warp on the plane layout (golden / CPU / VJP path).
 

@@ -257,3 +257,64 @@ def test_warp2_planes_pair_equivalence(rng):
     w0, w1 = warp2_planes(i0, i1, f0, f1)
     np.testing.assert_allclose(np.asarray(w0), np.asarray(warp_xla_planes(i0, f0)), atol=1e-5)
     np.testing.assert_allclose(np.asarray(w1), np.asarray(warp_xla_planes(i1, f1)), atol=1e-5)
+
+
+def test_warp_pair_blend_fused_matches_v5_and_composed(rng):
+    """Fused pair-warp + sigmoid blend (ops/pallas/warp_blend.py):
+    w0/w1 bit-exact vs the v5 kernel; blend within one bf16 ulp of the
+    composed v5 + XLA blend (single f32 rounding); blend-only variant
+    identical to the pair variant's blend."""
+    from rife_tpu.ops.pallas.warp_blend import warp_pair_blend_pl
+    from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5_pl
+
+    n, c, h, w = 2, 3, 40, 136
+    img0 = jnp.asarray(rng.random((n, c, h, w), np.float32)).astype(jnp.bfloat16)
+    img1 = jnp.asarray(rng.random((n, c, h, w), np.float32)).astype(jnp.bfloat16)
+    fl = jnp.moveaxis(smooth_flow(rng, n, h, w, 32, 3.0), -1, 1)
+    flow = jnp.concatenate([fl, -fl], 1)
+    mask = jnp.asarray((rng.random((n, 1, h, w), np.float32) - 0.5) * 4)
+
+    blend, w0, w1 = warp_pair_blend_pl(img0, img1, flow, mask, emit_pair=True)
+    v0 = warp_pallas_v5_pl(img0, flow[:, 0:2])
+    v1 = warp_pallas_v5_pl(img1, flow[:, 2:4])
+    assert np.array_equal(np.asarray(w0, np.float32), np.asarray(v0, np.float32))
+    assert np.array_equal(np.asarray(w1, np.float32), np.asarray(v1, np.float32))
+    sig = jax.nn.sigmoid(mask.astype(jnp.bfloat16))
+    comp = (v0 * sig + v1 * (1 - sig)).astype(jnp.bfloat16)
+    d = np.abs(np.asarray(blend, np.float32) - np.asarray(comp, np.float32))
+    assert d.max() <= 2 ** -7, d.max()  # one bf16 ulp at |x| <= 1
+
+    b2 = warp_pair_blend_pl(img0, img1, flow, mask, emit_pair=False)
+    assert np.array_equal(np.asarray(b2, np.float32),
+                          np.asarray(blend, np.float32))
+
+
+def test_warp2_blend_planes_grad_routes_through_composed(rng):
+    """The fused op is differentiable: its VJP delegates to the composed
+    pair-warp + blend (kernel-grad warp VJP), so v4.25 training works
+    with warp_impl=pallas after the round-4 epilogue fusion."""
+    from rife_tpu.ops import use_warp_impl, warp2_blend_planes
+
+    n, c, h, w = 1, 3, 16, 128
+    img0 = jnp.asarray(rng.random((n, c, h, w), np.float32))
+    img1 = jnp.asarray(rng.random((n, c, h, w), np.float32))
+    fl = jnp.moveaxis(smooth_flow(rng, n, h, w, 16, 1.5), -1, 1)
+    flow = jnp.concatenate([fl, -fl], 1)
+    mask = jnp.asarray((rng.random((n, 1, h, w), np.float32) - 0.5))
+
+    def loss(impl):
+        def f(i0, i1, fl, m):
+            with use_warp_impl(impl):
+                out = warp2_blend_planes(i0, i1, fl, m, need_pair=False)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return jax.grad(f, argnums=(0, 2, 3))(img0, img1, flow, mask)
+
+    g_pallas = loss("pallas")
+    g_xla = loss("xla")
+    for gp, gx, name in zip(g_pallas, g_xla, ("img0", "flow", "mask")):
+        gp, gx = np.asarray(gp, np.float32), np.asarray(gx, np.float32)
+        # pallas bwd recomputes through the composed path with bf16
+        # rounding of the primal; tolerances follow the diff-warp tests
+        assert np.abs(gp - gx).max() < 0.15, (name, np.abs(gp - gx).max())
+        denom = max(1e-3, np.abs(gx).max())
+        assert np.abs(gp - gx).max() / denom < 0.08, name

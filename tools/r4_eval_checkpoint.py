@@ -1,0 +1,82 @@
+"""r4: evaluate a trained checkpoint through the real benchmark CLI and
+the serving configs (VERDICT r3 next #4).
+
+Builds a held-out synthetic triplet set in the Vimeo90K directory
+layout (no dataset is mounted in this environment), then runs the
+actual `cli.benchmarks vimeo90k` protocol over it with the trained
+checkpoint at exact-f32, bf16, and fast+bf16 — the deltas qualify the
+serving configs on a REAL trained model rather than a brief overfit.
+
+    python tools/r4_eval_checkpoint.py <ckpt_dir> [--platform cpu]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_fixture(root: str, n: int = 32, seed: int = 777):
+    import cv2
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from rife_tpu.data import SyntheticTriplets
+
+    ds = SyntheticTriplets(n=n, h=256, w=448, seed=seed)
+    items = []
+    for i in range(n):
+        img0, gt, img1, _ = ds.load(i)
+        d = os.path.join(root, "sequences", f"{i:05d}", "0001")
+        os.makedirs(d, exist_ok=True)
+        for name, img in (("im1", img0), ("im2", gt), ("im3", img1)):
+            cv2.imwrite(os.path.join(d, f"{name}.png"), img)
+        items.append(f"{i:05d}/0001")
+    with open(os.path.join(root, "tri_testlist.txt"), "w") as f:
+        f.write("\n".join(items) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ckpt_dir")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--n", type=int, default=32)
+    args = ap.parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    root = "/tmp/r4_eval_vimeo_fixture"
+    if not os.path.exists(os.path.join(root, "tri_testlist.txt")):
+        build_fixture(root, n=args.n)
+
+    from rife_tpu.cli.benchmarks import main as bench_main
+
+    results = {}
+    for label, extra in (
+        ("exact-f32", ["--dtype", "float32"]),
+        ("exact-bf16", ["--dtype", "bfloat16"]),
+        ("fast-bf16", ["--dtype", "bfloat16", "--fast"]),
+    ):
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench_main(["vimeo90k", "--root", root,
+                        "--modelDir", args.ckpt_dir] + extra)
+        line = [l for l in buf.getvalue().splitlines() if l.startswith("{")][-1]
+        results[label] = json.loads(line)
+        print(label, line, flush=True)
+    base = results["exact-f32"]["psnr"]
+    for label in ("exact-bf16", "fast-bf16"):
+        print(f"delta {label} vs exact-f32: "
+              f"{results[label]['psnr'] - base:+.4f} dB", flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
