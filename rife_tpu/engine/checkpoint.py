@@ -120,6 +120,11 @@ def load_checkpoint(path: str, model: str | None = None):
         magic = f.read(8)
     if magic == _MAGIC:
         params, meta = load_params(path)
+        if isinstance(params, dict) and "params" in params \
+                and "opt_state" in params:
+            # cli/train epoch checkpoints save the full TrainState
+            # (params + optimizer + step) — serving needs params only.
+            params = params["params"]
         name = model or meta.get("model", "rife")
         return name, jax.tree.map(jnp.asarray, params)
 

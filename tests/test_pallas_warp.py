@@ -259,15 +259,17 @@ def test_warp2_planes_pair_equivalence(rng):
     np.testing.assert_allclose(np.asarray(w1), np.asarray(warp_xla_planes(i1, f1)), atol=1e-5)
 
 
-def test_warp_pair_blend_fused_matches_v5_and_composed(rng):
+@pytest.mark.parametrize("n,c,h,w", [
+    (2, 3, 40, 136),   # narrow path: tile_w=128, one lane block
+    (1, 3, 40, 512),   # serving-shape path: tile_w=256, two lane blocks
+])
+def test_warp_pair_blend_fused_matches_v5_and_composed(rng, n, c, h, w):
     """Fused pair-warp + sigmoid blend (ops/pallas/warp_blend.py):
     w0/w1 bit-exact vs the v5 kernel; blend within one bf16 ulp of the
     composed v5 + XLA blend (single f32 rounding); blend-only variant
     identical to the pair variant's blend."""
     from rife_tpu.ops.pallas.warp_blend import warp_pair_blend_pl
     from rife_tpu.ops.pallas.warp_v5 import warp_pallas_v5_pl
-
-    n, c, h, w = 2, 3, 40, 136
     img0 = jnp.asarray(rng.random((n, c, h, w), np.float32)).astype(jnp.bfloat16)
     img1 = jnp.asarray(rng.random((n, c, h, w), np.float32)).astype(jnp.bfloat16)
     fl = jnp.moveaxis(smooth_flow(rng, n, h, w, 32, 3.0), -1, 1)
