@@ -5,6 +5,19 @@ BASELINE.md: >=120 interpolated 720p frames/sec/chip.  Protocol mirrors
 benchmark/testtime.py (warmup + timed loop, device-synchronized) but at
 720p with batched pairs, bf16 compute — the production serving config.
 
+Honest-headline policy (round-4 VERDICT weak #3): the measurement uses
+the TRAINED checkpoint (train_log_r4/flownet.rtpu) when present — the
+Pallas warp cost is flow-dependent (window escapes, adaptive program
+widths) and random-init flows are ~0 — and textured smooth content with
+a real pan (BENCH_PAN px, default 32) instead of uniform noise.  The
+flow-amplitude sensitivity sweep lives in tools/r5_exp1_ladder.py and
+docs/PERFORMANCE.md.
+
+Knobs: BENCH_EXACT=1 → bit-exact graph; BENCH_FAST=N → fast rung
+(default: the qualified production default from serve/config.py);
+BENCH_MODEL=v4.25 → the fork's shipped production family; BENCH_PAN,
+BENCH_BATCH, BENCH_ITERS.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 from __future__ import annotations
@@ -17,43 +30,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def smooth_pair(batch, h, w, shift, dtype, seed=7):
+    """Textured smooth content panned by `shift` px on both axes —
+    realistic non-zero flows for the warp kernels."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    m = max(128, shift + 32)
+    base = rng.random((batch, h + 2 * m, w + 2 * m, 3)).astype(np.float32)
+    for _ in range(3):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)
+                + np.roll(base, 2, 1) + np.roll(base, 2, 2)) / 5
+    a = base[:, m:m + h, m:m + w]
+    b = base[:, m + shift:m + shift + h, m + shift:m + shift + w]
+    return jnp.asarray(a, dtype), jnp.asarray(b, dtype)
+
+
 def main():
     from rife_tpu.cli._common import enable_compilation_cache
 
     enable_compilation_cache()
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
-
-    from rife_tpu.engine import InferenceEngine
-
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    # 720p padded to a multiple of 32 (1280x736), the video driver's bucket.
-    h, w = 736, 1280
-
     from jax import lax
 
     from rife_tpu.models.registry import MODEL_REGISTRY
     from rife_tpu.ops import use_warp_impl
 
-    key = jax.random.PRNGKey(0)
-    img0 = jax.random.uniform(key, (batch, h, w, 3), jnp.bfloat16)
-    img1 = jax.random.uniform(jax.random.PRNGKey(1), (batch, h, w, 3), jnp.bfloat16)
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    pan = int(os.environ.get("BENCH_PAN", "32"))
+    model = os.environ.get("BENCH_MODEL", "rife")
+    # 720p padded to each family's bucket (video driver: %32 paper, %64 v4.25)
+    h, w = (768, 1280) if model == "v4.25" else (736, 1280)
 
-    # Headline config = the production serving graph: fast mode
-    # (consumer-resolution coarse-level warps), protocol-qualified at
-    # < 0.05 dB vs exact-f32 with trained weights
-    # (tests/test_benchmarks_golden.py::test_fast_serving_psnr_cost_
-    # trained_weights; docs/PERFORMANCE.md "Fast-mode qualification").
-    # BENCH_EXACT=1 measures the bit-exact graph instead.
+    # Headline config = the production serving graph (fast rung default
+    # from serve/config.py, protocol-qualified < 0.05 dB vs exact-f32
+    # with trained weights — docs/PERFORMANCE.md "Fast-mode
+    # qualification").  BENCH_EXACT=1 measures the bit-exact graph.
     exact = os.environ.get("BENCH_EXACT", "0") not in ("0", "", "false")
-    d = MODEL_REGISTRY["rife"]
-    if not exact:
-        import dataclasses
+    if exact:
+        rung = 0
+    elif "BENCH_FAST" in os.environ:
+        rung = int(os.environ["BENCH_FAST"])
+    else:
+        from rife_tpu.serve.config import FAST_MODE
 
-        d = dataclasses.replace(d, config=dataclasses.replace(
-            d.config, fast_level0=True))
-    params = d.init(jax.random.PRNGKey(0), d.config)
+        rung = int(FAST_MODE)
+    d = MODEL_REGISTRY[model]
+    repl = {}
+    if rung >= 1 and hasattr(d.config, "fast_level0"):
+        repl["fast_level0"] = True
+    if rung >= 2 and hasattr(d.config, "fast_refine"):
+        repl["fast_refine"] = True
+    if repl:
+        d = dataclasses.replace(d, config=dataclasses.replace(d.config, **repl))
+
+    # trained weights when available (random-init flows are ~0 and
+    # flatter the warp cost); the paper-family checkpoint only fits the
+    # paper-family models
+    params = None
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "train_log_r4", "flownet.rtpu")
+    if model == "rife" and os.path.exists(ckpt) \
+            and os.environ.get("BENCH_RANDOM_INIT", "0") in ("0", "", "false"):
+        from rife_tpu.engine.checkpoint import load_checkpoint
+
+        name, params = load_checkpoint(ckpt)
+        if name != model:
+            params = None
+    if params is None:
+        params = d.init(jax.random.PRNGKey(0), d.config)
+
+    img0, img1 = smooth_pair(batch, h, w, pan, jnp.bfloat16)
     warp_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     # `iters` forward passes chained inside ONE jit with a scalar fetch:

@@ -29,7 +29,11 @@ from rife_tpu.ops import ssim_matlab
 from rife_tpu.utils import read_image
 
 
-def _engine(args) -> InferenceEngine:
+def _engine(args, default_model: str | None = None) -> InferenceEngine:
+    """`default_model` applies only when NO checkpoint file resolves —
+    with a checkpoint present and --model unset, auto-detection decides
+    (so e.g. hd4x can verify the loaded model is timestep-conditioned
+    instead of silently forcing rife_m onto rife weights)."""
     from rife_tpu.cli.interp_img import build_engine
 
     ckpt = args.modelDir
@@ -39,7 +43,9 @@ def _engine(args) -> InferenceEngine:
             if os.path.exists(p):
                 ckpt = p
                 break
-    return build_engine(ckpt if os.path.isfile(ckpt) else None, args.model,
+    ckpt_file = ckpt if os.path.isfile(ckpt) else None
+    model = args.model if args.model else (None if ckpt_file else default_model)
+    return build_engine(ckpt_file, model,
                         args.scale, args.dtype, fast=getattr(args, "fast", False))
 
 
@@ -210,8 +216,17 @@ def run_hd4x(args):
     frames i..i+4, predictions at t=1/4, 2/4, 3/4 vs ground truth."""
     from rife_tpu.video.yuv import YUV420Reader
 
-    args.model = args.model or "rife_m"
-    engine = _engine(args)
+    engine = _engine(args, default_model="rife_m")
+    if not engine.supports_timestep:
+        # A checkpoint that auto-detects as plain "rife" would silently
+        # compute the midpoint for every t=k/4 (ifnet ignores timestep
+        # unless variant="rife_m") — fail loudly instead of publishing
+        # a wrong protocol number (round-4 VERDICT weak #6).
+        raise SystemExit(
+            f"hd4x needs a timestep-conditioned model; loaded "
+            f"'{engine.model_name}' is fixed-midpoint. Pass --model "
+            "rife_m with a matching checkpoint."
+        )
     groups = {}
     for path, h, w in _clip_list(args):
         if not os.path.exists(path):
@@ -319,9 +334,11 @@ def main(argv=None):
         p.add_argument("--modelDir", type=str, default="train_log")
         p.add_argument("--scale", type=float, default=1.0)
         p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
-        p.add_argument("--fast", action="store_true",
-                       help="measure the fast serving graph (benchmarks "
-                            "default to the exact graph for protocol parity)")
+        p.add_argument("--fast", type=int, nargs="?", const=1, default=0,
+                       help="measure the fast serving graph at this rung "
+                            "(1 = consumer-res coarse warps, 2 = + half-"
+                            "res refine; benchmarks default to the exact "
+                            "graph for protocol parity)")
         p.add_argument("--clips", type=str, default=None,
                        help="override HD clip table: 'path:h:w,...'")
         p.add_argument("--warmup", type=int, default=100)

@@ -55,10 +55,12 @@ def main(argv=None):
     # test_fast_serving_psnr_cost_trained_weights; docs/PERFORMANCE.md
     # "Fast-mode qualification").  --exact opts back into the bit-exact
     # full-resolution graph.
-    ap.add_argument("--fast", dest="fast", action="store_true", default=True,
-                    help="coarse-level warps at consumer resolution "
-                         "(default; qualified < 0.05 dB vs exact)")
-    ap.add_argument("--exact", dest="fast", action="store_false",
+    ap.add_argument("--fast", dest="fast", type=int, nargs="?", const=1,
+                    default=1,
+                    help="fast-rung ladder: 1 = coarse-level warps at "
+                         "consumer resolution (default; qualified "
+                         "< 0.05 dB vs exact), 2 = + half-res refine")
+    ap.add_argument("--exact", dest="fast", action="store_const", const=0,
                     help="bit-exact full-res graph (reference parity mode)")
     args = ap.parse_args(argv)
 

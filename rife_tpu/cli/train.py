@@ -74,6 +74,15 @@ def main(argv=None):
                     help="batches assembled ahead on a background thread "
                          "(0 = synchronous)")
     ap.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--steps_per_call", type=int, default=1,
+                    help="optimizer steps chained inside ONE jit call "
+                         "(lax.scan over a K-step staged super-batch). "
+                         "Amortizes per-invocation dispatch (~0.7 s on "
+                         "tunneled runtimes) exactly like bench.py's "
+                         "chained loop; loss trajectory is identical to "
+                         "K=1 (tests/test_train.py). Scalar logs keep "
+                         "their cadence; image panels snap to the last "
+                         "sub-step of the window that crosses it")
     ap.add_argument("--vis_interval", type=int, default=1000,
                     help="image-panel cadence in steps (0 disables; ref train.py:75)")
     ap.add_argument("--val_interval", type=int, default=5,
@@ -174,8 +183,18 @@ def main(argv=None):
 
     compute_dtype = jnp.dtype(args.dtype)
     with_vis = args.vis_interval > 0
-    train_step = make_train_step(model_def, tx, mesh=mesh, compute_dtype=compute_dtype,
-                                 with_vis=with_vis)
+    spc = max(1, args.steps_per_call)
+    if spc > 1:
+        from rife_tpu.parallel import shard_superbatch
+        from rife_tpu.train import make_train_step_chained
+
+        train_step = make_train_step_chained(
+            model_def, tx, spc, mesh=mesh, compute_dtype=compute_dtype,
+            with_vis=with_vis)
+    else:
+        train_step = make_train_step(model_def, tx, mesh=mesh,
+                                     compute_dtype=compute_dtype,
+                                     with_vis=with_vis)
     eval_step = make_eval_step(model_def, mesh=mesh, compute_dtype=compute_dtype)
     state = jax.device_put(state, replicated_sharding(mesh))
 
@@ -186,28 +205,48 @@ def main(argv=None):
                              workers=args.workers, prefetch=args.prefetch)
     step = int(state.step)
     t_data = t_train = 0.0
+    buf = []
     t0 = time.perf_counter()
     for batch in batches:
+        if spc > 1:
+            # stage K host batches into one (K, B, ...) super-batch;
+            # one jit call runs all K optimizer steps (dispatch paid once)
+            buf.append(batch)
+            if len(buf) < spc:
+                continue
+            call_batch = shard_superbatch(
+                {k: np.stack([b[k] for b in buf]) for k in buf[0]}, mesh)
+            buf = []
+        else:
+            call_batch = shard_batch(batch, mesh)
         t1 = time.perf_counter()
         t_data = t1 - t0
         if with_vis:
-            state, metrics, vis = train_step(state, shard_batch(batch, mesh))
+            state, metrics, vis = train_step(state, call_batch)
         else:
-            state, metrics = train_step(state, shard_batch(batch, mesh))
-        step += 1
-        if step % 200 == 0 or step == 1:
-            m = {k: float(v) for k, v in metrics.items()}
-            t_train = time.perf_counter() - t1
-            m.update(step=step, lr=float(schedule(step)),
-                     t_data=round(t_data, 4), t_train=round(t_train, 4))
-            logger.log("train", step, m)
-            print(json.dumps(m))
-        if with_vis and (step % args.vis_interval == 0 or step == 1) \
-                and jax.process_index() == 0:
+            state, metrics = train_step(state, call_batch)
+        step_before, step = step, step + spc
+        for i in range(spc):
+            s = step_before + i + 1
+            if s % 200 == 0 or s == 1:
+                m = {k: float(v[i]) if spc > 1 else float(v)
+                     for k, v in metrics.items()}
+                t_train = time.perf_counter() - t1
+                m.update(step=s, lr=float(schedule(s)),
+                         t_data=round(t_data, 4),
+                         t_train=round(t_train / spc, 4))
+                logger.log("train", s, m)
+                print(json.dumps(m))
+        vis_due = with_vis and (
+            step_before == 0
+            or step_before // args.vis_interval != step // args.vis_interval)
+        if vis_due and jax.process_index() == 0:
             from rife_tpu.utils.viz import dump_panels
 
+            # chained calls emit the LAST sub-step's panel tensors, so
+            # the panel index snaps to `step` (the window's last step)
             dump_panels(logger, step, jax.device_get(vis))
-        epoch_done = step % steps_per_epoch == 0
+        epoch_done = step_before // steps_per_epoch != step // steps_per_epoch
         if epoch_done and jax.process_index() == 0:
             save_params(
                 os.path.join(args.log_dir, "flownet.rtpu"),
@@ -239,6 +278,9 @@ def main(argv=None):
         if step >= total_steps:
             break
         t0 = time.perf_counter()
+    if buf:
+        print(f"note: dropping {len(buf)} staged batch(es) < steps_per_call "
+              f"at shutdown (pick --steps divisible by --steps_per_call)")
     if hasattr(batches, "close"):
         batches.close()  # stop the prefetch producer thread
     logger.close()

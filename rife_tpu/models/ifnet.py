@@ -58,6 +58,16 @@ class IFNetConfig:
     # model/IFNet.py:84-85, then immediately downsamples them inside the
     # next block).  Saves two full-res warps + a 17ch full-res resize.
     fast_level0: bool = False
+    # Rung 2 of the qualified-approximation ladder (inference only, NOT
+    # exact): evaluate the whole refinement stage (contextnet + fusion
+    # U-Net + their 10 warps, reference model/refine.py:36-82) at half
+    # resolution and bilinearly upsample the 3ch residual before the
+    # clamp.  The refine stage is ~2/3 of the exact graph's full-res
+    # conv+warp bill (docs/PERFORMANCE.md "TRUE budget"); the residual
+    # it produces is low-amplitude (sigmoid*2-1 around 0), so its
+    # high-frequency content is protocol-qualified away — see
+    # tests/test_benchmarks_golden.py fast-rung qualification.
+    fast_refine: bool = False
 
     @property
     def timestep_plane(self) -> bool:
@@ -185,6 +195,7 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
     # feed the distillation loss in training).
     fast0 = cfg.fast_level0 and gt is None and not cfg.half_res \
         and scale_list[1] != 1
+    fastr = cfg.fast_refine and gt is None and not cfg.half_res
     img0_pl = to_planes(img0)
     img1_pl = to_planes(img1)
     tplane_pl = to_planes(tplane) if tplane is not None else None
@@ -299,10 +310,12 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             # Final level, inference: fuse the pair warp with the
             # sigmoid-mask blend epilogue (reference IFNet.py:82,99 —
             # one kernel instead of warp pair + XLA blend; w0/w1 are
-            # co-emitted only when the U-Net concat still needs them).
+            # co-emitted only when the U-Net concat still needs them
+            # at full resolution (fast_refine re-warps at half res).
+            need_pair = do_refine and not fastr
             fused = warp2_blend_planes(img0_pl, img1_pl, flow_pl,
-                                       mask_pl, need_pair=do_refine)
-            if do_refine:
+                                       mask_pl, need_pair=need_pair)
+            if need_pair:
                 blend_final_pl, w0_pl, w1_pl = fused
             else:
                 blend_final_pl = fused
@@ -366,14 +379,36 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             loss_distill = loss_distill + jnp.mean(dist * loss_mask)
 
     if do_refine:
-        c0, c1 = contextnet_apply_pair(
-            params["contextnet"], img0_pl, img1_pl,
-            flow_pl[:, 0:2], flow_pl[:, 2:4], cfg.half_res, planes=True
-        )
-        x17_pl = cat([img0_pl, img1_pl, w0_pl, w1_pl, mask_pl, flow_pl], 1)
-        res = unet_apply(params["unet"], x17_pl, c0, c1, cfg.half_res,
-                         planes=True)
-        res = res * 2 - 1
+        if fastr:
+            # Half-res refine (fast_refine): the contextnet pyramid, the
+            # U-Net, and all their warps run one octave down; the 3ch
+            # sigmoid residual upsamples back (bilinear, like the block
+            # output contract).  res*2-1 is affine, so it commutes with
+            # the interpolation — apply it after the upsample.
+            img0r_pl = plane_down2(img0_pl)
+            img1r_pl = plane_down2(img1_pl)
+            flow_r_pl = plane_down2(flow_pl) * 0.5
+            mask_r_pl = plane_down2(mask_pl)
+            w0r_pl, w1r_pl = warp2_planes(
+                img0r_pl, img1r_pl, flow_r_pl[:, 0:2], flow_r_pl[:, 2:4])
+            c0, c1 = contextnet_apply_pair(
+                params["contextnet"], img0r_pl, img1r_pl,
+                flow_r_pl[:, 0:2], flow_r_pl[:, 2:4], cfg.half_res,
+                planes=True)
+            x17_pl = cat([img0r_pl, img1r_pl, w0r_pl, w1r_pl, mask_r_pl,
+                          flow_r_pl], 1)
+            res = unet_apply(params["unet"], x17_pl, c0, c1, cfg.half_res,
+                             planes=True)
+            res = from_planes(plane_up(to_planes(res), 2)) * 2 - 1
+        else:
+            c0, c1 = contextnet_apply_pair(
+                params["contextnet"], img0_pl, img1_pl,
+                flow_pl[:, 0:2], flow_pl[:, 2:4], cfg.half_res, planes=True
+            )
+            x17_pl = cat([img0_pl, img1_pl, w0_pl, w1_pl, mask_pl, flow_pl], 1)
+            res = unet_apply(params["unet"], x17_pl, c0, c1, cfg.half_res,
+                             planes=True)
+            res = res * 2 - 1
         merged[2] = jnp.clip(merged[2] + res, 0.0, 1.0)
 
     return {

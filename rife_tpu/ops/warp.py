@@ -108,7 +108,23 @@ def warp2_planes(img_a: jnp.ndarray, img_b: jnp.ndarray, flow_a: jnp.ndarray,
     return both[:n], both[n:]
 
 
-_FUSE_BLEND = contextvars.ContextVar("rife_tpu_fuse_blend", default=True)
+# Default OFF: the fused epilogue failed its >2% full-graph adoption
+# bar on the chip (r5 A/B, tools/r4_exp1_blendfuse.py: rife exact
+# 58.19 ms fused vs 57.38 composed, fast 53.39 vs 53.13; v4.25 within
+# +0.9% — docs/PERFORMANCE.md "Negative results").  The kernel stays as
+# a recorded negative with its own unit tests; flip via use_fuse_blend.
+_FUSE_BLEND = contextvars.ContextVar("rife_tpu_fuse_blend", default=False)
+
+
+@contextlib.contextmanager
+def use_fuse_blend(flag: bool):
+    """A/B switch for the fused warp+blend epilogue (measurement
+    harnesses and the fused-kernel tests)."""
+    tok = _FUSE_BLEND.set(flag)
+    try:
+        yield
+    finally:
+        _FUSE_BLEND.reset(tok)
 
 
 def _blend_composed(img_a, img_b, flow_pl, mask_pl):
@@ -179,8 +195,9 @@ def warp2_blend_planes(img_a: jnp.ndarray, img_b: jnp.ndarray,
     the composed blend (single f32 rounding instead of bf16 products).
     Differentiation routes through the composed ops (kernel-grad warp
     VJP); the fused kernel is primal-only.  XLA impl composes the
-    exact ops unchanged.  `_FUSE_BLEND` (contextvar, default on) is the
-    A/B switch for measurement harnesses."""
+    exact ops unchanged.  `_FUSE_BLEND` (contextvar, default OFF — the
+    fusion lost its full-graph A/B, see docs/PERFORMANCE.md) selects
+    the fused kernel; `use_fuse_blend(True)` flips it."""
     if _WARP_IMPL.get() == "pallas" and _FUSE_BLEND.get():
         if need_pair:
             blend, w0, w1 = _warp_blend_pair_fused(img_a, img_b, flow_pl,

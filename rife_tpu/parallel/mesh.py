@@ -33,6 +33,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def superbatch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for a K-step staged super-batch (K, batch, ...): the
+    scan axis stays whole on every device, the batch axis shards."""
+    return NamedSharding(mesh, P(None, axis))
+
+
+def shard_superbatch(batch, mesh: Mesh, axis: str = "data"):
+    """device_put a (K, batch, ...) host super-batch: batch axis (dim 1)
+    sharded along `data`, anything non-conforming replicated."""
+    sh = superbatch_sharding(mesh, axis)
+    rep = replicated_sharding(mesh)
+    return {
+        k: jax.device_put(
+            v, sh if getattr(v, "ndim", 0) >= 2
+            and v.shape[1] % mesh.shape[axis] == 0 else rep)
+        for k, v in batch.items()
+    }
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """device_put a host batch (dict of arrays) sharded along the data axis."""
     sh = batch_sharding(mesh, axis)

@@ -44,8 +44,15 @@ def load_engine(model_dir=None):
                 if os.path.exists(p):
                     ckpt = p
                     break
-        return build_engine(ckpt, None, 1.0, "bfloat16",
-                            fast=config.FAST_MODE)
+        eng = build_engine(ckpt, None, 1.0, "bfloat16",
+                           fast=config.FAST_MODE)
+        # Deployments must be able to see which graph they serve: the
+        # fast rung is an env-controlled default (round-4 ADVICE #4).
+        print(f"[rife_tpu] serving graph: "
+              f"{'bit-exact' if not config.FAST_MODE else f'fast rung {int(config.FAST_MODE)}'}"
+              f" (RIFE_TPU_FAST={os.environ.get('RIFE_TPU_FAST', '<unset, default 1>')}),"
+              f" model={eng.model_name}, dtype={eng.compute_dtype}", flush=True)
+        return eng
     except Exception:
         traceback.print_exc()
         return None

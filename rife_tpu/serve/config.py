@@ -16,12 +16,23 @@ SERVER_NAME = os.environ.get("GRADIO_SERVER_NAME", "0.0.0.0")
 SERVER_PORT = int(os.environ.get("RIFE_TPU_PORT", "7860"))
 AUTH_USERNAME = os.environ.get("AUTH_USERNAME")
 AUTH_PASSWORD = os.environ.get("AUTH_PASSWORD")
-# opt-in fast serving mode (half-res level-0 warps, not exact — see
-# docs/PERFORMANCE.md "Fast serving mode")
-# fast serving graph is the qualified default (< 0.05 dB vs exact with
-# trained weights through the Vimeo protocol, docs/PERFORMANCE.md
-# "Fast-mode qualification"); RIFE_TPU_FAST=0 opts out.
-FAST_MODE = os.environ.get("RIFE_TPU_FAST", "1") not in ("0", "", "false")
+# Fast serving rung (qualified-approximation ladder, docs/PERFORMANCE.md
+# "Fast-mode qualification"): 0 = bit-exact graph, 1 = consumer-res
+# coarse-level warps, 2 = + half-res refine stage.  Every enabled rung
+# is protocol-qualified < 0.05 dB vs exact-f32 with trained weights;
+# RIFE_TPU_FAST=0 opts back into the bit-exact graph.  The active mode
+# is logged at server startup (serve/app.py).
+
+
+def _parse_fast(v: str) -> int:
+    if v in ("", "false"):
+        return 0
+    if v == "true":
+        return 1
+    return int(v)
+
+
+FAST_MODE = _parse_fast(os.environ.get("RIFE_TPU_FAST", "1"))
 
 
 def ensure_dirs():

@@ -1,6 +1,8 @@
 from rife_tpu.train.losses import epe_loss, ternary_loss, sobel_loss
 from rife_tpu.train.lr import cyclic_lr_schedule, warmup_cosine_schedule
-from rife_tpu.train.loop import TrainState, make_train_step, make_eval_step, train_init
+from rife_tpu.train.loop import (TrainState, make_train_step,
+                                 make_train_step_chained, make_eval_step,
+                                 train_init)
 
 __all__ = [
     "epe_loss",
@@ -10,6 +12,7 @@ __all__ = [
     "cyclic_lr_schedule",
     "TrainState",
     "make_train_step",
+    "make_train_step_chained",
     "make_eval_step",
     "train_init",
 ]

@@ -21,7 +21,8 @@ import optax
 
 from rife_tpu.models.registry import ModelDef
 from rife_tpu.ops import lap_loss
-from rife_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from rife_tpu.parallel.mesh import (batch_sharding, replicated_sharding,
+                                    superbatch_sharding)
 from rife_tpu.train.lr import warmup_cosine_schedule
 
 
@@ -199,6 +200,62 @@ def make_train_step(model_def: ModelDef, tx, mesh=None, compute_dtype=jnp.float3
         in_shardings=(repl, data),
         out_shardings=out_shardings,
     )
+
+
+def make_train_step_chained(model_def: ModelDef, tx, k: int, mesh=None,
+                            compute_dtype=jnp.float32, with_vis: bool = False):
+    """K optimizer steps inside ONE jit over a (K, batch, ...) staged
+    super-batch — the training analog of bench.py's chained loop: every
+    jit INVOCATION over a tunneled runtime costs ~0.7 s of dispatch
+    (CLAUDE.md), which dominated the r4 run (t_train 2.4-5.8 s against
+    a 124 ms device step).  lax.scan runs the first k-1 steps (metrics
+    only), the k-th runs unrolled so its panel tensors are emitted
+    without stacking K full vis pytrees.  Metrics come back stacked
+    (k,) per key; vis is the LAST sub-step's.
+
+    The loss trajectory is the same computation as k calls of
+    make_train_step on the same batches (asserted on CPU by
+    tests/test_train.py::test_chained_train_step_matches_single)."""
+    assert k >= 1
+
+    def one(state: TrainState, batch):
+        grad_fn = jax.value_and_grad(_loss_fn, has_aux=True)
+        (_, (metrics, vis)), grads = grad_fn(state.params, batch, model_def,
+                                             compute_dtype)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(params=new_params, opt_state=new_opt,
+                           step=state.step + 1), metrics, vis)
+
+    def chain_fn(state: TrainState, superbatch):
+        if k > 1:
+            head = jax.tree.map(lambda x: x[:-1], superbatch)
+
+            def body(st, batch):
+                st2, metrics, _ = one(st, batch)
+                return st2, metrics
+
+            state, ms_head = jax.lax.scan(body, state, head)
+        tail = jax.tree.map(lambda x: x[-1], superbatch)
+        state, m_last, vis = one(state, tail)
+        if k > 1:
+            metrics = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b[None]]), ms_head,
+                jax.tree.map(jnp.asarray, m_last))
+        else:
+            metrics = jax.tree.map(lambda x: jnp.asarray(x)[None], m_last)
+        if with_vis:
+            return state, metrics, vis
+        return state, metrics
+
+    if mesh is None:
+        return jax.jit(chain_fn)
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    super_data = superbatch_sharding(mesh)
+    out_shardings = (repl, repl, data) if with_vis else (repl, repl)
+    return jax.jit(chain_fn, in_shardings=(repl, super_data),
+                   out_shardings=out_shardings)
 
 
 def make_eval_step(model_def: ModelDef, mesh=None, compute_dtype=jnp.float32):

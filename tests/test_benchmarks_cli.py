@@ -114,3 +114,23 @@ def test_stage_timer():
         pass
     rep = t.report()
     assert rep["decode"]["count"] == 2
+
+
+def test_hd4x_rejects_fixed_midpoint_model(tmp_path):
+    """A checkpoint that resolves to the fixed-midpoint 'rife' model must
+    fail loudly in hd4x instead of silently scoring the midpoint at
+    every t=k/4 (round-4 VERDICT weak #6)."""
+    from rife_tpu.engine import InferenceEngine
+    from rife_tpu.engine.checkpoint import save_params
+
+    eng = InferenceEngine("rife", seed=0)
+    ckpt_dir = tmp_path / "ck"
+    ckpt_dir.mkdir()
+    save_params(str(ckpt_dir / "flownet.rtpu"), eng.params,
+                meta={"model": "rife"})
+    args = Args()
+    args.modelDir = str(ckpt_dir)
+    args.model = None  # hd4x defaults to rife_m, but the ckpt wins
+    args.clips = []
+    with pytest.raises(SystemExit, match="timestep"):
+        bm.run_hd4x(args)

@@ -586,10 +586,14 @@ def test_fast_serving_psnr_cost_trained_weights(model, crop):
 
     val = SyntheticTriplets(n=8, h=64, w=64, seed=99)
     res = {}
-    for name, kw in [("exact-f32", dict(compute_dtype="float32")),
-                     ("exact-bf16", dict(compute_dtype="bfloat16")),
-                     ("fast-f32", dict(compute_dtype="float32", fast=True)),
-                     ("fast-bf16", dict(compute_dtype="bfloat16", fast=True))]:
+    configs = [("exact-f32", dict(compute_dtype="float32")),
+               ("exact-bf16", dict(compute_dtype="bfloat16")),
+               ("fast-f32", dict(compute_dtype="float32", fast=True)),
+               ("fast-bf16", dict(compute_dtype="bfloat16", fast=True))]
+    if model == "rife":  # rung 2 (half-res refine) — paper family only
+        configs += [("fast2-f32", dict(compute_dtype="float32", fast=2)),
+                    ("fast2-bf16", dict(compute_dtype="bfloat16", fast=2))]
+    for name, kw in configs:
         eng = InferenceEngine(model, params=state.params, **kw)
         psnrs = []
         for i in range(8):
@@ -606,3 +610,7 @@ def test_fast_serving_psnr_cost_trained_weights(model, crop):
     assert abs(res["fast-bf16"] - res["exact-f32"]) < 0.05, res
     # fast must not amplify the bf16 rounding cost
     assert abs(res["fast-bf16"] - res["exact-bf16"]) < 0.05, res
+    if model == "rife":
+        # rung 2 qualification: half-res refine within the same budget
+        assert abs(res["fast2-f32"] - res["exact-f32"]) < 0.05, res
+        assert abs(res["fast2-bf16"] - res["exact-f32"]) < 0.05, res

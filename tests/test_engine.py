@@ -202,6 +202,50 @@ def test_fast_level0_mode_close_to_exact(rng):
     assert out["merged_teacher"] is not None
 
 
+def test_fast_refine_rung2_close_to_exact(rng):
+    """Rung 2 of the fast ladder: half-res refine stage (contextnet +
+    U-Net + their warps one octave down, residual upsampled).  Must stay
+    close to exact on smooth content and be inference-only (gt forces
+    the exact refine path)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from rife_tpu.engine import InferenceEngine
+    from rife_tpu.models.registry import MODEL_REGISTRY
+
+    base = rng.random((1, 72, 104, 3)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)) / 3
+    img0 = jnp.asarray(base[:, :64, :96])
+    img1 = jnp.asarray(base[:, 8:72, 8:104])
+
+    exact = np.asarray(InferenceEngine("rife", seed=0).interpolate(img0, img1))
+    eng2 = InferenceEngine("rife", seed=0, fast=2)
+    assert eng2.model_def.config.fast_level0 is True
+    assert eng2.model_def.config.fast_refine is True
+    fast2 = np.asarray(eng2.interpolate(img0, img1))
+    assert fast2.shape == exact.shape
+    d = np.abs(fast2 - exact)
+    assert d.mean() < 0.02, d.mean()
+
+    # the refine residual must still be applied (rung 2 != refine off)
+    norefine = MODEL_REGISTRY["rife"]
+    params = eng2.params
+    out_off = norefine.apply(params, img0, img1, scale_list=norefine.scale_list,
+                             cfg=norefine.config, refine=False)
+    d_off = np.abs(np.asarray(out_off["merged"][-1]) - fast2)
+    assert d_off.mean() > 1e-4, "fast_refine produced no residual"
+
+    # training path ignores the approximation: gt forces the exact graph
+    dd = MODEL_REGISTRY["rife"]
+    cfg = dataclasses.replace(dd.config, fast_level0=True, fast_refine=True)
+    out = dd.apply(dd.init(jax.random.PRNGKey(0), cfg),
+                   img0, img1, gt=img0, scale_list=dd.scale_list, cfg=cfg)
+    assert out["merged_teacher"] is not None
+
+
 def test_v425_fast_mode_close_to_exact(rng):
     """v4.25 fast mode: consumer-resolution warps at the coarse levels
     stay close to the exact path on smooth content; merged[:-1] of the
@@ -296,3 +340,13 @@ def test_cache_key_retrace_on_trace_time_knobs(monkeypatch, rng):
     eng.scale_list = tuple(s * 2 for s in eng.scale_list)
     eng.interpolate(a, b)
     assert len(traces) == 3, "scale_list mutation must retrace"
+
+
+def test_timestep_frames_rejects_fixed_midpoint_model(rng):
+    """timestep_frames on a fixed-midpoint model would return n copies
+    of the t=0.5 frame — it must raise instead (round-4 VERDICT #7)."""
+    eng = InferenceEngine("rife", seed=0)
+    assert not eng.supports_timestep
+    a, b = _pair(rng)
+    with pytest.raises(ValueError, match="timestep"):
+        timestep_frames(eng, a, b, 3)

@@ -294,8 +294,10 @@ def test_warp_pair_blend_fused_matches_v5_and_composed(rng, n, c, h, w):
 def test_warp2_blend_planes_grad_routes_through_composed(rng):
     """The fused op is differentiable: its VJP delegates to the composed
     pair-warp + blend (kernel-grad warp VJP), so v4.25 training works
-    with warp_impl=pallas after the round-4 epilogue fusion."""
-    from rife_tpu.ops import use_warp_impl, warp2_blend_planes
+    with warp_impl=pallas when the fusion is enabled (the fusion is
+    default-off since its r5 A/B negative; enable it explicitly here so
+    the fused path stays covered)."""
+    from rife_tpu.ops import use_fuse_blend, use_warp_impl, warp2_blend_planes
 
     n, c, h, w = 1, 3, 16, 128
     img0 = jnp.asarray(rng.random((n, c, h, w), np.float32))
@@ -306,7 +308,7 @@ def test_warp2_blend_planes_grad_routes_through_composed(rng):
 
     def loss(impl):
         def f(i0, i1, fl, m):
-            with use_warp_impl(impl):
+            with use_warp_impl(impl), use_fuse_blend(impl == "pallas"):
                 out = warp2_blend_planes(i0, i1, fl, m, need_pair=False)
             return jnp.sum(out.astype(jnp.float32) ** 2)
         return jax.grad(f, argnums=(0, 2, 3))(img0, img1, flow, mask)

@@ -365,3 +365,137 @@ def test_legacy_flow_consistency_term():
         state, m = step(state, batch)
         assert float(m["loss_cons"]) > 0.0, model
         assert np.isfinite(float(m["loss"])), model
+
+
+def test_chained_train_step_matches_single():
+    """K steps inside one jit (make_train_step_chained, lax.scan over a
+    staged super-batch) must produce the same loss trajectory and final
+    params as K calls of make_train_step on the same batches (round-4
+    VERDICT next #5 — the dispatch-amortization path must not change
+    the optimization)."""
+    from rife_tpu.parallel import shard_superbatch
+    from rife_tpu.train import make_train_step_chained
+
+    mesh = make_mesh(("data",))
+    d = MODEL_REGISTRY["rife"]
+    k = 4
+    batches = [_tiny_batch(8, seed=10 + i) for i in range(k)]
+
+    state0, tx, _ = train_init(d, total_steps=100)
+    state0 = jax.device_put(state0, replicated_sharding(mesh))
+
+    step1 = make_train_step(d, tx, mesh=mesh)
+    st = state0
+    losses_single = []
+    for b in batches:
+        st, m = step1(st, shard_batch(b, mesh))
+        losses_single.append(float(m["loss"]))
+
+    chained = make_train_step_chained(d, tx, k, mesh=mesh)
+    superbatch = {key: np.stack([b[key] for b in batches])
+                  for key in batches[0]}
+    st_c, metrics = chained(state0, shard_superbatch(superbatch, mesh))
+
+    losses_chained = [float(v) for v in metrics["loss"]]
+    assert int(st_c.step) == k
+    np.testing.assert_allclose(losses_chained, losses_single,
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st_c.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_chained_train_step_with_vis_last_substep():
+    """with_vis returns the LAST sub-step's panel tensors, batch-sharded,
+    and metrics stacked (k,)."""
+    from rife_tpu.parallel import shard_superbatch
+    from rife_tpu.train import make_train_step_chained
+
+    mesh = make_mesh(("data",))
+    d = MODEL_REGISTRY["rife"]
+    k = 2
+    batches = [_tiny_batch(8, seed=20 + i) for i in range(k)]
+    state0, tx, _ = train_init(d, total_steps=100)
+    state0 = jax.device_put(state0, replicated_sharding(mesh))
+
+    chained = make_train_step_chained(d, tx, k, mesh=mesh, with_vis=True)
+    superbatch = {key: np.stack([b[key] for b in batches])
+                  for key in batches[0]}
+    st, metrics, vis = chained(state0, shard_superbatch(superbatch, mesh))
+    assert metrics["loss"].shape == (k,)
+    assert vis["pred"].shape == (8, 32, 32, 3)
+    # vis is the k-th sub-step's: its gt equals the LAST staged batch's
+    np.testing.assert_allclose(np.asarray(vis["gt"]), batches[-1]["gt"],
+                               rtol=0, atol=1e-6)
+
+
+def test_septuplet_pipeline_determinism_across_workers():
+    """round-4 ADVICE #2: the septuplet frame-pick RNG must be
+    scheduling-independent — identical stream for every (workers,
+    prefetch) setting, and DIFFERENT picks across epochs for the same
+    index (the picks must still resample per visit)."""
+    from rife_tpu.data import SyntheticSeptuplets
+
+    ds = SyntheticSeptuplets(n=16, h=48, w=48)
+    grab = lambda **kw: [
+        b for _, b in zip(range(8), batch_iterator(ds, 4, crop=32, **kw))]
+    ref = grab()
+    for kw in (dict(workers=4), dict(prefetch=2), dict(workers=4, prefetch=2)):
+        got = grab(**kw)
+        for rb, gb in zip(ref, got):
+            for k in ("img0", "img1", "gt", "timestep"):
+                np.testing.assert_array_equal(rb[k], gb[k], err_msg=str(kw))
+    # 8 batches of 4 from n=16 = 2 epochs; the pick stream must vary
+    # across epochs (same indices, different (epoch, slot) keys)
+    t_epoch0 = np.concatenate([b["timestep"] for b in ref[:4]])
+    t_epoch1 = np.concatenate([b["timestep"] for b in ref[4:]])
+    assert not np.array_equal(np.sort(t_epoch0), np.sort(t_epoch1))
+
+
+def test_septuplet_validation_pick_reproducible():
+    """Validation picks are fixed per index: two passes over the val
+    split yield identical samples (reproducible val PSNR)."""
+    from rife_tpu.data import SyntheticSeptuplets
+
+    ds = SyntheticSeptuplets(n=8, h=48, w=48)
+    ds.split = "validation"
+    a = [b for b in batch_iterator(ds, 4, augment=False, epochs=1)]
+    b = [b for b in batch_iterator(ds, 4, augment=False, epochs=1)]
+    for ba, bb in zip(a, b):
+        for k in ("img0", "img1", "gt", "timestep"):
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_prefetch_iterator_terminal_after_exception_and_close():
+    """round-4 ADVICE #3: after delivering a generator exception the
+    iterator raises StopIteration (not a forever-block) on further
+    next(); close() also closes the wrapped generator."""
+    from rife_tpu.data.vimeo import _PrefetchIterator
+
+    def boom():
+        yield 1
+        raise RuntimeError("loader failed")
+
+    it = _PrefetchIterator(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="loader failed"):
+        for _ in range(10):
+            next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+
+    closed = []
+
+    def tracked():
+        try:
+            while True:
+                yield 0
+        finally:
+            closed.append(True)
+
+    it2 = _PrefetchIterator(tracked(), depth=1)
+    assert next(it2) == 0
+    it2.close()
+    assert closed == [True]
+    with pytest.raises(StopIteration):
+        next(it2)

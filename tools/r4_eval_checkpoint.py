@@ -59,7 +59,11 @@ def main():
     for label, extra in (
         ("exact-f32", ["--dtype", "float32"]),
         ("exact-bf16", ["--dtype", "bfloat16"]),
-        ("fast-bf16", ["--dtype", "bfloat16", "--fast"]),
+        ("fast-bf16", ["--dtype", "bfloat16", "--fast", "1"]),
+        # rung 2 of the ladder (half-res refine) — the real-checkpoint
+        # qualification evidence for fast_refine (r5)
+        ("fast2-f32", ["--dtype", "float32", "--fast", "2"]),
+        ("fast2-bf16", ["--dtype", "bfloat16", "--fast", "2"]),
     ):
         import contextlib
         import io
@@ -72,9 +76,13 @@ def main():
         results[label] = json.loads(line)
         print(label, line, flush=True)
     base = results["exact-f32"]["psnr"]
-    for label in ("exact-bf16", "fast-bf16"):
+    for label in ("exact-bf16", "fast-bf16", "fast2-f32", "fast2-bf16"):
         print(f"delta {label} vs exact-f32: "
               f"{results[label]['psnr'] - base:+.4f} dB", flush=True)
+    out = os.path.join(args.ckpt_dir, "eval_protocol.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"wrote {out}", flush=True)
     print("done", flush=True)
 
 
