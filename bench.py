@@ -94,9 +94,12 @@ def main():
     # flatter the warp cost); the paper-family checkpoint only fits the
     # paper-family models
     params = None
-    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "train_log_r4", "flownet.rtpu")
-    if model == "rife" and os.path.exists(ckpt) \
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [os.environ.get("BENCH_CKPT", "")] + [
+        os.path.join(here, d, "flownet.rtpu")
+        for d in ("train_log_r5", "train_log_r4")]
+    ckpt = next((c for c in candidates if c and os.path.exists(c)), None)
+    if model == "rife" and ckpt \
             and os.environ.get("BENCH_RANDOM_INIT", "0") in ("0", "", "false"):
         from rife_tpu.engine.checkpoint import load_checkpoint
 

@@ -40,6 +40,10 @@ class InferenceEngine:
         #   1/True   consumer-resolution coarse-level warps (fast_level0)
         #   2        + half-resolution refine stage (fast_refine;
         #            paper-model family only — v4.25 has no refine)
+        #   3        + final flow level at half resolution (the
+        #            reference's own scale knob, scale_list (4,2,1) ->
+        #            (4,2,2) — inference_video.py --UHD semantics
+        #            applied to the last level only)
         rung = int(fast)
         if rung >= 1 and hasattr(self.model_def.config, "fast_level0"):
             import dataclasses
@@ -50,6 +54,9 @@ class InferenceEngine:
             self.model_def = dataclasses.replace(
                 self.model_def,
                 config=dataclasses.replace(self.model_def.config, **repl))
+            if rung >= 3 and tuple(self.model_def.scale_list) == (4.0, 2.0, 1.0):
+                self.model_def = dataclasses.replace(
+                    self.model_def, scale_list=(4.0, 2.0, 2.0))
         if params is None:
             params = self.model_def.init(jax.random.PRNGKey(seed), self.model_def.config)
         self.params = params

@@ -195,6 +195,11 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
     # feed the distillation loss in training).
     fast0 = cfg.fast_level0 and gt is None and not cfg.half_res \
         and scale_list[1] != 1
+    # rung 3 (ladder): when the FINAL level also works below full res
+    # (engine fast=3 maps scale_list (4,2,1) -> (4,2,2)), build block2's
+    # input at its working resolution too — the level-1 warps run at the
+    # res block2 consumes instead of full-res-then-downsample.
+    fast1 = fast0 and scale_list[2] != 1
     fastr = cfg.fast_refine and gt is None and not cfg.half_res
     img0_pl = to_planes(img0)
     img1_pl = to_planes(img1)
@@ -240,9 +245,9 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
                     x = scale_by(x, 1.0 / s)
                 flow_d_pl, mask_d_pl = block_out(p, x, s)
             flow_pl, mask_pl = flow_d_pl, mask_d_pl
-        elif fast0 and i == 1:
-            # Build block1's input directly at its working resolution:
-            # warp half-res images by half-res flow instead of warping
+        elif (fast0 and i == 1) or (fast1 and i == 2):
+            # Build the block's input directly at its working resolution:
+            # warp scaled images by scaled flow instead of warping
             # full-res and letting the block downsample the 17ch concat.
             inv = 1.0 / s
             if s == 2:
@@ -301,10 +306,11 @@ def ifnet_apply(params, img0, img1, *, scale_list=(4.0, 2.0, 1.0), timestep=0.5,
             mask_pl = mask_pl + mask_d_pl
         mask_list.append(jax.nn.sigmoid(mask_pl))
         flow_list.append(flow_pl)
-        if fast0 and i == 0:
-            # level-0 warps are consumed only by block1 (handled above at
-            # half res) and by the dead merged[0] blend — placeholders
-            # keep the pytree shape; XLA DCEs the blend.
+        if (fast0 and i == 0) or (fast1 and i == 1):
+            # these levels' warps are consumed only by the next block
+            # (handled above at ITS working res) and by the dead
+            # merged[i] blend — placeholders keep the pytree shape; XLA
+            # DCEs the blend.
             merged.append((img0_pl, img1_pl))
         elif i == 2 and gt is None:
             # Final level, inference: fuse the pair warp with the

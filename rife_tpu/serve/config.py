@@ -17,9 +17,12 @@ SERVER_PORT = int(os.environ.get("RIFE_TPU_PORT", "7860"))
 AUTH_USERNAME = os.environ.get("AUTH_USERNAME")
 AUTH_PASSWORD = os.environ.get("AUTH_PASSWORD")
 # Fast serving rung (qualified-approximation ladder, docs/PERFORMANCE.md
-# "Fast-mode qualification"): 0 = bit-exact graph, 1 = consumer-res
-# coarse-level warps, 2 = + half-res refine stage.  Every enabled rung
-# is protocol-qualified < 0.05 dB vs exact-f32 with trained weights;
+# "The qualified-approximation ladder"): 0 = bit-exact graph, 1 =
+# consumer-res coarse-level warps, 2 = + half-res refine stage, 3 =
+# + half-res final flow level.  The DEFAULT is the highest rung that
+# passed the trained-checkpoint protocol at < 0.05 dB vs exact-f32:
+# currently rung 1 (+0.007 dB on the real checkpoint; rung 2 measured
+# -0.61 dB against the under-trained r4 checkpoint and is opt-in).
 # RIFE_TPU_FAST=0 opts back into the bit-exact graph.  The active mode
 # is logged at server startup (serve/app.py).
 

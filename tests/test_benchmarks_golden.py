@@ -611,6 +611,13 @@ def test_fast_serving_psnr_cost_trained_weights(model, crop):
     # fast must not amplify the bf16 rounding cost
     assert abs(res["fast-bf16"] - res["exact-bf16"]) < 0.05, res
     if model == "rife":
-        # rung 2 qualification: half-res refine within the same budget
+        # rung 2 graph-approximation sanity on CONVERGED-on-its-data
+        # weights.  NOTE: this is necessary, not sufficient, for
+        # shipping rung 2 — the real (under-trained) r4 checkpoint
+        # measured -0.61 dB through tools/r4_eval_checkpoint.py, so the
+        # default stays rung 1 (docs/PERFORMANCE.md ladder).  A model
+        # whose refine residual is a small correction passes here; one
+        # still leaning on high-frequency refine corrections fails the
+        # real-checkpoint eval.
         assert abs(res["fast2-f32"] - res["exact-f32"]) < 0.05, res
         assert abs(res["fast2-bf16"] - res["exact-f32"]) < 0.05, res

@@ -350,3 +350,36 @@ def test_timestep_frames_rejects_fixed_midpoint_model(rng):
     a, b = _pair(rng)
     with pytest.raises(ValueError, match="timestep"):
         timestep_frames(eng, a, b, 3)
+
+
+def test_fast_rung3_half_res_final_flow(rng):
+    """Rung 3: the final flow level runs one octave down (scale_list
+    (4,2,1) -> (4,2,2)) and block2's input warps happen at its working
+    resolution.  Mechanical checks: the scale_list maps, output stays
+    close to exact on smooth content, and non-paper-family scale lists
+    are untouched."""
+    from rife_tpu.engine import InferenceEngine
+
+    base = rng.random((1, 72, 104, 3)).astype(np.float32)
+    for _ in range(2):
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 1, 2)) / 3
+    img0 = jnp.asarray(base[:, :64, :96])
+    img1 = jnp.asarray(base[:, 8:72, 8:104])
+
+    eng3 = InferenceEngine("rife", seed=0, fast=3)
+    assert tuple(eng3.scale_list) == (4.0, 2.0, 2.0)
+    assert eng3.model_def.config.fast_level0 is True
+    assert eng3.model_def.config.fast_refine is True
+    exact = np.asarray(InferenceEngine("rife", seed=0).interpolate(img0, img1))
+    out3 = np.asarray(eng3.interpolate(img0, img1))
+    assert out3.shape == exact.shape
+    assert np.isfinite(out3).all()
+    assert np.abs(out3 - exact).mean() < 0.05
+
+    # the user scale knob composes: scale=0.5 halves every level
+    eng3s = InferenceEngine("rife", seed=0, fast=3, scale=0.5)
+    assert tuple(eng3s.scale_list) == (8.0, 4.0, 4.0)
+
+    # v4.25 has no 3-level paper scale list; rung 3 must not touch it
+    engv = InferenceEngine("v4.25", seed=0, fast=3)
+    assert tuple(engv.scale_list) == (16.0, 8.0, 4.0, 2.0, 1.0)
