@@ -89,6 +89,9 @@ def main():
         repl["fast_refine"] = True
     if repl:
         d = dataclasses.replace(d, config=dataclasses.replace(d.config, **repl))
+    if rung >= 3 and tuple(d.scale_list) == (4.0, 2.0, 1.0):
+        # rung 3: final flow level at half res (engine fast=3 mapping)
+        d = dataclasses.replace(d, scale_list=(4.0, 2.0, 2.0))
 
     # trained weights when available (random-init flows are ~0 and
     # flatter the warp cost); the paper-family checkpoint only fits the

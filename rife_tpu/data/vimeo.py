@@ -22,9 +22,11 @@ bounded queue, so the device step overlaps host input.  Augment draws
 use a per-(epoch, slot) RNG: the sample stream is identical for every
 (workers, prefetch) setting (tested).
 
-SyntheticTriplets generates linearly-moving-square sequences so that
-training/eval paths are exercisable (and loss-decrease testable) without
-the external dataset.
+SyntheticTriplets/SyntheticSeptuplets generate linearly-translating
+textured scenes (smooth multi-octave base + sharp rectangles, cropped
+from a margin canvas so there is no wrap seam) so that training/eval
+paths are exercisable — and actually convergent — without the external
+dataset.
 """
 from __future__ import annotations
 
@@ -129,10 +131,44 @@ class VimeoSeptuplets:
         return img0, gt, img1, t
 
 
+def _textured_canvas(rng: np.random.Generator, h: int, w: int, m: int):
+    """(h+2m, w+2m, 3) float canvas: multi-octave smoothed noise (coarse
+    structure the 1/16-res pyramid level can actually match) plus sharp
+    random color rectangles (high-frequency edges for the fine levels).
+
+    The r4 training run stalled at 15.5 dB val PSNR because the old
+    synthetic frames were 1-tap-blurred white noise: at the coarse flow
+    levels the texture aliases into unmatchable mush, so the flow
+    estimator never converged (VERDICT r4 weak #4 / next #8)."""
+    H, W = h + 2 * m, w + 2 * m
+    c = rng.random((H, W, 3), dtype=np.float32)
+    for r in (1, 2, 4, 8):
+        c = (c + np.roll(c, r, 0) + np.roll(c, -r, 0)
+             + np.roll(c, r, 1) + np.roll(c, -r, 1)) / 5
+    c -= c.min()
+    c *= 175.0 / max(float(c.max()), 1e-6)
+    c += 40.0  # mid-range base so the rectangles stand out both ways
+    for _ in range(8):
+        hh = int(rng.integers(6, max(8, H // 4)))
+        ww = int(rng.integers(6, max(8, W // 4)))
+        y0 = int(rng.integers(0, H - hh))
+        x0 = int(rng.integers(0, W - ww))
+        c[y0:y0 + hh, x0:x0 + ww] = rng.integers(0, 256, 3)
+    return c
+
+
+def _crop_at(canvas, m: int, h: int, w: int, dy: int, dx: int):
+    return canvas[m + dy:m + dy + h, m + dx:m + dx + w].astype(np.uint8)
+
+
 class SyntheticSeptuplets:
-    """7-frame moving-pattern sequences with the septuplet sampling
+    """7-frame linear-translation sequences with the septuplet sampling
     semantics (t = (i1-i0)/(i2-i0)) — dataset-free fractional-t
-    training/tests for rife_m and v4.25."""
+    training/tests for rife_m and v4.25.  Frames are crops from one
+    textured canvas at exact integer offsets (no wrap seam, so the
+    motion is fully learnable and the fractional-t GT is exact)."""
+
+    _MARGIN = 24  # covers 6 steps x |4| px/step
 
     def __init__(self, n: int = 256, h: int = 256, w: int = 448, seed: int = 0):
         import itertools
@@ -149,11 +185,10 @@ class SyntheticSeptuplets:
 
     def load(self, index: int, pick_rng=None):
         rng = np.random.default_rng(self.seed * 100003 + index)
-        h, w = self.h, self.w
-        bg = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        bg = (bg.astype(np.float32) + np.roll(bg, 1, 0) + np.roll(bg, 1, 1)) / 3
+        h, w, m = self.h, self.w, self._MARGIN
+        canvas = _textured_canvas(rng, h, w, m)
         # per-step motion small enough that the 6-step span stays learnable
-        dx, dy = rng.integers(-4, 5, 2)
+        dx, dy = (int(v) for v in rng.integers(-4, 5, 2))
         if self.split != "train":
             pick_rng = np.random.default_rng([self.seed, 13, index])
         elif pick_rng is None:
@@ -162,15 +197,17 @@ class SyntheticSeptuplets:
         ind = pick_rng.permutation(7)[:3]
         ind.sort()
         t = float((ind[1] - ind[0]) / (ind[2] - ind[0] + 1e-6))
-        frames = []
-        for i in ind:
-            img = np.roll(np.roll(bg, int(dy * i), 0), int(dx * i), 1)
-            frames.append(img.astype(np.uint8))
+        frames = [_crop_at(canvas, m, h, w, dy * int(i), dx * int(i))
+                  for i in ind]
         return frames[0], frames[1], frames[2], t
 
 
 class SyntheticTriplets:
-    """Moving-pattern triplets for dataset-free smoke training."""
+    """Linear-translation triplets for dataset-free training/eval: crops
+    from one textured canvas at offsets (0, d/2, d) with d even, so the
+    midpoint GT is the exact t=0.5 frame and there is no wrap seam."""
+
+    _MARGIN = 12  # covers |d| <= 12 px
 
     def __init__(self, n: int = 256, h: int = 256, w: int = 448, seed: int = 0):
         self.n, self.h, self.w = n, h, w
@@ -182,15 +219,11 @@ class SyntheticTriplets:
 
     def load(self, index: int):
         rng = np.random.default_rng(self.seed * 100003 + index)
-        h, w = self.h, self.w
-        bg = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
-        # blur the background a little so warps are learnable
-        bg = (bg.astype(np.float32) + np.roll(bg, 1, 0) + np.roll(bg, 1, 1)) / 3
-        dx, dy = rng.integers(-12, 13, 2)
-        frames = []
-        for t in (0, 1, 2):
-            img = np.roll(np.roll(bg, int(round(dy * t / 2)), 0), int(round(dx * t / 2)), 1)
-            frames.append(img.astype(np.uint8))
+        h, w, m = self.h, self.w, self._MARGIN
+        canvas = _textured_canvas(rng, h, w, m)
+        dx, dy = (2 * int(v) for v in rng.integers(-6, 7, 2))
+        frames = [_crop_at(canvas, m, h, w, dy * t // 2, dx * t // 2)
+                  for t in (0, 1, 2)]
         return frames[0], frames[1], frames[2], 0.5
 
 

@@ -40,6 +40,18 @@ def _precision_for(dtype):
 # None = auto (tile on TPU only); True/False force for tests/benchmarks.
 _TILING_OVERRIDE: bool | None = None
 
+# Tile-assembly layout for the 3x3 tiled convs: "batch" folds tiles into
+# the batch dim (the adopted form), "hstack" stacks them along H — the
+# r5 full-graph A/B candidate for the trace's layout-copy category
+# (VERDICT r4 next #6; read at trace time, tools/r5_exp5_hstack.py).
+_TILED_CONV_IMPL = "batch"
+
+
+def set_tiled_conv_impl(name: str) -> None:
+    assert name in ("batch", "hstack"), name
+    global _TILED_CONV_IMPL
+    _TILED_CONV_IMPL = name
+
 
 def _tiling_on() -> bool:
     if _TILING_OVERRIDE is not None:
@@ -76,7 +88,9 @@ def conv2d(x: jnp.ndarray, p: dict, stride: int = 1, padding: int | None = None,
             and stride in (1, 2) and x.ndim == 4
             and x.shape[1] * x.shape[2] >= _tiled.MIN_PIXELS
             and x.shape[1] % stride == 0 and _tiling_on()):
-        out = _tiled.conv2d_tiled(x, w, stride, _precision_for(x.dtype))
+        impl = (_tiled.conv2d_tiled_hstack if _TILED_CONV_IMPL == "hstack"
+                else _tiled.conv2d_tiled)
+        out = impl(x, w, stride, _precision_for(x.dtype))
     else:
         out = lax.conv_general_dilated(
             x, w,

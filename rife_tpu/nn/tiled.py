@@ -61,6 +61,53 @@ def conv2d_tiled(x: jnp.ndarray, w: jnp.ndarray, stride: int, precision,
     return y[:, :h // s]
 
 
+def conv2d_tiled_hstack(x: jnp.ndarray, w: jnp.ndarray, stride: int,
+                        precision, T: int | None = None) -> jnp.ndarray:
+    """conv2d_tiled variant that stacks the halo'd tiles along H instead
+    of folding them into batch (exact; r5 copy-category experiment,
+    VERDICT r4 next #6).
+
+    Rationale: the trace's 12.8 ms/iter layout-copy category is XLA
+    relayouting each (n*nt, rows, W, C) tile batch into the conv's
+    preferred batch-minor layout (~0.61 ms per copy at ~410 GB/s,
+    docs/PERFORMANCE.md "TRUE budget").  Keeping batch at n and stacking
+    tiles along H sidesteps the batch-minor move; the price is one
+    garbage-row slice on the (dense-channel) output.  Boundary-crossing
+    output rows are computed and discarded.
+    """
+    T = T or TILE_ROWS
+    n, h, wd, c = x.shape
+    s = stride
+    Ti = T * s
+    nt = -(-h // Ti)
+    hp = nt * Ti
+    if hp != h:
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, 0), (0, 0)))
+    mid = x.reshape(n, nt, Ti, wd, c)
+    top = jnp.pad(mid[:, :-1, Ti - 1:], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+    parts = [top, mid]
+    # block rows: s==1 -> T+2 (halo top+bottom), s==2 -> 2T+2 (halo top +
+    # one pad row keeping every block's start even for the stride)
+    if s == 1:
+        bot = jnp.pad(mid[:, 1:, :1], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        parts.append(bot)
+    else:
+        parts.append(jnp.zeros((n, nt, 1, wd, c), x.dtype))
+    rows = Ti + 2
+    stack = jnp.concatenate(parts, axis=2).reshape(n, nt * rows, wd, c)
+    # H padding (0, 2): the last block's tail garbage rows keep the
+    # output length at exactly nt * rows // s
+    y = lax.conv_general_dilated(
+        stack, w, (s, s), ((0, 2 if s == 1 else 1), (1, 1)),
+        dimension_numbers=_DN,
+        precision=precision,
+        preferred_element_type=x.dtype,
+    ).astype(x.dtype)
+    y = y.reshape(n, nt, rows // s, -1, w.shape[-1])[:, :, :T]
+    y = y.reshape(n, nt * T, -1, w.shape[-1])
+    return y[:, :h // s]
+
+
 def conv_transpose2d_tiled(x: jnp.ndarray, w: jnp.ndarray, precision,
                            T: int | None = None) -> jnp.ndarray:
     """k4/s2/pad-1 transposed conv (pre-flipped weights, see layers.py)

@@ -10,12 +10,14 @@ import numpy as np
 import pytest
 
 from rife_tpu.nn import layers
-from rife_tpu.nn.tiled import conv2d_tiled, conv_transpose2d_tiled
+from rife_tpu.nn.tiled import (conv2d_tiled, conv2d_tiled_hstack,
+                               conv_transpose2d_tiled)
 
 
+@pytest.mark.parametrize("impl", [conv2d_tiled, conv2d_tiled_hstack])
 @pytest.mark.parametrize("stride", [1, 2])
 @pytest.mark.parametrize("shape", [(2, 64, 96, 17), (1, 96, 64, 5), (2, 50, 64, 8)])
-def test_conv2d_tiled_exact(rng, stride, shape):
+def test_conv2d_tiled_exact(rng, impl, stride, shape):
     if shape[1] % stride:
         pytest.skip("H not divisible by stride")
     x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -25,7 +27,7 @@ def test_conv2d_tiled_exact(rng, stride, shape):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    got = conv2d_tiled(x, w, stride, jax.lax.Precision.HIGHEST, T=8)
+    got = impl(x, w, stride, jax.lax.Precision.HIGHEST, T=8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 

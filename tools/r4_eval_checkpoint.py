@@ -64,6 +64,9 @@ def main():
         # qualification evidence for fast_refine (r5)
         ("fast2-f32", ["--dtype", "float32", "--fast", "2"]),
         ("fast2-bf16", ["--dtype", "bfloat16", "--fast", "2"]),
+        # rung 3 (half-res final flow level) — r5 ladder qualification
+        ("fast3-f32", ["--dtype", "float32", "--fast", "3"]),
+        ("fast3-bf16", ["--dtype", "bfloat16", "--fast", "3"]),
     ):
         import contextlib
         import io
@@ -76,7 +79,8 @@ def main():
         results[label] = json.loads(line)
         print(label, line, flush=True)
     base = results["exact-f32"]["psnr"]
-    for label in ("exact-bf16", "fast-bf16", "fast2-f32", "fast2-bf16"):
+    for label in ("exact-bf16", "fast-bf16", "fast2-f32", "fast2-bf16",
+                  "fast3-f32", "fast3-bf16"):
         print(f"delta {label} vs exact-f32: "
               f"{results[label]['psnr'] - base:+.4f} dB", flush=True)
     out = os.path.join(args.ckpt_dir, "eval_protocol.json")
