@@ -199,10 +199,19 @@ def main(argv=None):
     state = jax.device_put(state, replicated_sharding(mesh))
 
     logger = MetricLogger(args.log_dir)
+    # u8 staging: image batches cross host->device as uint8 and the
+    # jitted step does the /255 (train/loop._dev01) — 4x less transfer,
+    # which matters when steps_per_call stages K batches per call.
     batches = batch_iterator(train_ds, args.batch_size, seed=args.seed, crop=args.crop,
                              process_index=jax.process_index(),
                              process_count=jax.process_count(),
-                             workers=args.workers, prefetch=args.prefetch)
+                             workers=args.workers,
+                             # the chained step drains spc batches per
+                             # call — the producer needs at least that
+                             # much queue to overlap the device call
+                             prefetch=(max(args.prefetch, spc + 2)
+                                       if spc > 1 else args.prefetch),
+                             u8=True)
     step = int(state.step)
     t_data = t_train = 0.0
     buf = []

@@ -158,7 +158,7 @@ def _textured_canvas(rng: np.random.Generator, h: int, w: int, m: int):
 
 
 def _crop_at(canvas, m: int, h: int, w: int, dy: int, dx: int):
-    return canvas[m + dy:m + dy + h, m + dx:m + dx + w].astype(np.uint8)
+    return np.ascontiguousarray(canvas[m + dy:m + dy + h, m + dx:m + dx + w])
 
 
 class SyntheticSeptuplets:
@@ -177,18 +177,31 @@ class SyntheticSeptuplets:
         self.seed = seed
         self.split = "train"
         self._ticket = itertools.count()
+        self._cache: dict = {}
 
     stochastic_pick = True  # see VimeoSeptuplets
 
     def __len__(self):
         return self.n
 
+    def _scene(self, index: int):
+        """Canvas + motion for `index` — deterministic per index, so it
+        is built once and cached as uint8 (a Vimeo triplet's PNGs are
+        likewise fixed; only augmentation varies per epoch)."""
+        hit = self._cache.get(index)
+        if hit is None:
+            rng = np.random.default_rng(self.seed * 100003 + index)
+            canvas = _textured_canvas(
+                rng, self.h, self.w, self._MARGIN).astype(np.uint8)
+            # per-step motion small enough that the 6-step span stays
+            # learnable
+            dx, dy = (int(v) for v in rng.integers(-4, 5, 2))
+            hit = self._cache[index] = (canvas, dx, dy)
+        return hit
+
     def load(self, index: int, pick_rng=None):
-        rng = np.random.default_rng(self.seed * 100003 + index)
         h, w, m = self.h, self.w, self._MARGIN
-        canvas = _textured_canvas(rng, h, w, m)
-        # per-step motion small enough that the 6-step span stays learnable
-        dx, dy = (int(v) for v in rng.integers(-4, 5, 2))
+        canvas, dx, dy = self._scene(index)
         if self.split != "train":
             pick_rng = np.random.default_rng([self.seed, 13, index])
         elif pick_rng is None:
@@ -213,15 +226,24 @@ class SyntheticTriplets:
         self.n, self.h, self.w = n, h, w
         self.seed = seed
         self.split = "train"
+        self._cache: dict = {}
 
     def __len__(self):
         return self.n
 
+    def _scene(self, index: int):
+        hit = self._cache.get(index)
+        if hit is None:
+            rng = np.random.default_rng(self.seed * 100003 + index)
+            canvas = _textured_canvas(
+                rng, self.h, self.w, self._MARGIN).astype(np.uint8)
+            dx, dy = (2 * int(v) for v in rng.integers(-6, 7, 2))
+            hit = self._cache[index] = (canvas, dx, dy)
+        return hit
+
     def load(self, index: int):
-        rng = np.random.default_rng(self.seed * 100003 + index)
         h, w, m = self.h, self.w, self._MARGIN
-        canvas = _textured_canvas(rng, h, w, m)
-        dx, dy = (2 * int(v) for v in rng.integers(-6, 7, 2))
+        canvas, dx, dy = self._scene(index)
         frames = [_crop_at(canvas, m, h, w, dy * t // 2, dx * t // 2)
                   for t in (0, 1, 2)]
         return frames[0], frames[1], frames[2], 0.5
@@ -335,7 +357,8 @@ class _PrefetchIterator:
 def batch_iterator(dataset, batch_size: int, *, seed: int = 1234, crop: int = 224,
                    process_index: int = 0, process_count: int = 1,
                    epochs: int | None = None, augment: bool | None = None,
-                   workers: int = 0, prefetch: int = 0) -> Iterator[dict]:
+                   workers: int = 0, prefetch: int = 0,
+                   u8: bool = False) -> Iterator[dict]:
     """Yields dicts of NHWC float32 batches {img0, img1, gt, timestep}.
 
     workers > 0: items of a batch are decoded+augmented concurrently on a
@@ -344,10 +367,17 @@ def batch_iterator(dataset, batch_size: int, *, seed: int = 1234, crop: int = 22
     that depth, overlapping host input with the device step.  Augment
     draws come from a per-(epoch, slot) RNG, so the sample stream is
     IDENTICAL for every (workers, prefetch) setting.
+
+    u8=True keeps the image batches uint8 (timestep stays f32) and
+    defers the /255 to the device — 4x less host->device traffic, which
+    matters on tunneled runtimes where the training super-batch transfer
+    is a large share of the step (cli/train --steps_per_call).  The
+    jitted train steps normalize uint8 inputs on device to the exact
+    same [0,1] f32 values as the host path.
     """
     gen = _batch_gen(dataset, batch_size, seed=seed, crop=crop,
                      process_index=process_index, process_count=process_count,
-                     epochs=epochs, augment=augment, workers=workers)
+                     epochs=epochs, augment=augment, workers=workers, u8=u8)
     if prefetch > 0:
         return _PrefetchIterator(gen, depth=prefetch)
     return gen
@@ -356,7 +386,7 @@ def batch_iterator(dataset, batch_size: int, *, seed: int = 1234, crop: int = 22
 def _batch_gen(dataset, batch_size: int, *, seed: int, crop: int,
                process_index: int, process_count: int,
                epochs: int | None, augment: bool | None,
-               workers: int) -> Iterator[dict]:
+               workers: int, u8: bool = False) -> Iterator[dict]:
     if augment is None:
         augment = dataset.split == "train"
     pool = None
@@ -398,6 +428,13 @@ def _batch_gen(dataset, batch_size: int, *, seed: int, crop: int,
                 items = list(pool.map(load_one, slots)) if pool \
                     else [load_one(s) for s in slots]
                 b0, bg, b1, bt = zip(*items)
+                if u8:
+                    yield {
+                        "img0": np.stack(b0), "img1": np.stack(b1),
+                        "gt": np.stack(bg),
+                        "timestep": np.asarray(bt, np.float32),
+                    }
+                    continue
                 # Whole-batch u8 -> [0,1] through the native frameops
                 # library (threaded C++, numpy fallback) — the host-side
                 # cost on the training input path.

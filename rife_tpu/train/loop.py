@@ -131,7 +131,17 @@ def _loss_fn_legacy(params, batch, model_def: ModelDef, compute_dtype):
     return loss, (metrics, vis)
 
 
+def _dev01(batch):
+    """Normalize uint8 image batches to [0,1] f32 on device — the u8
+    staging path of data.batch_iterator(u8=True) defers the /255 here
+    (4x less tunnel traffic per super-batch); bit-identical to the host
+    u8_to_f32 values."""
+    return {k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+            for k, v in batch.items()}
+
+
 def _loss_fn(params, batch, model_def: ModelDef, compute_dtype):
+    batch = _dev01(batch)
     if model_def.name == "v4.25":
         return _loss_fn_v425(params, batch, model_def, compute_dtype)
     if model_def.name in ("hd", "hdv2"):
@@ -262,6 +272,7 @@ def make_eval_step(model_def: ModelDef, mesh=None, compute_dtype=jnp.float32):
     """Validation: PSNR of student and teacher vs gt (train.py:97-136)."""
 
     def eval_fn(params, batch):
+        batch = _dev01(batch)
         img0 = batch["img0"].astype(compute_dtype)
         img1 = batch["img1"].astype(compute_dtype)
         gt = batch["gt"].astype(jnp.float32)

@@ -186,6 +186,28 @@ class _SlowTriplets(SyntheticTriplets):
         return super().load(index)
 
 
+def test_u8_staging_matches_f32_path():
+    """batch_iterator(u8=True) + the jitted /255 (train/loop._dev01)
+    must reproduce the host-converted f32 batches exactly, and the
+    train step must accept uint8 batches (the cli/train staging path
+    on tunneled runtimes)."""
+    ds = SyntheticTriplets(n=8, h=64, w=64)
+    bf = next(iter(batch_iterator(ds, 4, crop=64)))
+    bu = next(iter(batch_iterator(ds, 4, crop=64, u8=True)))
+    for k in ("img0", "img1", "gt"):
+        assert bu[k].dtype == np.uint8
+        # native u8_to_f32 multiplies by (1/255.f); /255.0 divides —
+        # same value to the last ulp or two
+        np.testing.assert_allclose(
+            bf[k], bu[k].astype(np.float32) / 255.0, atol=3e-7, rtol=0)
+    d = MODEL_REGISTRY["rife"]
+    state, tx, _ = train_init(d, total_steps=10)
+    step = make_train_step(d, tx)
+    _, m_f = step(state, bf)
+    _, m_u = step(state, bu)
+    assert float(m_f["loss"]) == pytest.approx(float(m_u["loss"]), rel=1e-5)
+
+
 def test_input_pipeline_determinism_across_workers():
     """The sample stream must be identical for every (workers, prefetch)
     setting — per-(epoch, slot) augment RNGs, not a shared sequential
