@@ -590,9 +590,11 @@ def test_fast_serving_psnr_cost_trained_weights(model, crop):
                ("exact-bf16", dict(compute_dtype="bfloat16")),
                ("fast-f32", dict(compute_dtype="float32", fast=True)),
                ("fast-bf16", dict(compute_dtype="bfloat16", fast=True))]
-    if model == "rife":  # rung 2 (half-res refine) — paper family only
+    if model == "rife":  # rungs 2/3 (half-res refine / final flow level)
         configs += [("fast2-f32", dict(compute_dtype="float32", fast=2)),
-                    ("fast2-bf16", dict(compute_dtype="bfloat16", fast=2))]
+                    ("fast2-bf16", dict(compute_dtype="bfloat16", fast=2)),
+                    ("fast3-f32", dict(compute_dtype="float32", fast=3)),
+                    ("fast3-bf16", dict(compute_dtype="bfloat16", fast=3))]
     for name, kw in configs:
         eng = InferenceEngine(model, params=state.params, **kw)
         psnrs = []
@@ -621,3 +623,6 @@ def test_fast_serving_psnr_cost_trained_weights(model, crop):
         # real-checkpoint eval.
         assert abs(res["fast2-f32"] - res["exact-f32"]) < 0.05, res
         assert abs(res["fast2-bf16"] - res["exact-f32"]) < 0.05, res
+        # rung 3 adds the half-res final flow level on top of rung 2
+        assert abs(res["fast3-f32"] - res["exact-f32"]) < 0.08, res
+        assert abs(res["fast3-bf16"] - res["exact-f32"]) < 0.08, res

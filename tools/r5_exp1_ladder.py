@@ -81,12 +81,13 @@ def main():
 
     rand = {n: d.init(jax.random.PRNGKey(0), d.config)
             for n, d, _ in configs}
-    ck = os.path.join(os.path.dirname(__file__), "..",
-                      "train_log_r4", "flownet.rtpu")
     trained = None
-    if os.path.exists(ck):
-        name, trained = load_checkpoint(ck)
-        print("trained checkpoint:", name, flush=True)
+    for d_ in ("train_log_r5", "train_log_r4"):
+        ck = os.path.join(os.path.dirname(__file__), "..", d_, "flownet.rtpu")
+        if os.path.exists(ck):
+            name, trained = load_checkpoint(ck)
+            print("trained checkpoint:", d_, name, flush=True)
+            break
 
     pairs = {"noise": (jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, 3),
                                           jnp.bfloat16),
