@@ -87,6 +87,8 @@ def main():
         repl["fast_level0"] = True
     if rung >= 2 and hasattr(d.config, "fast_refine"):
         repl["fast_refine"] = True
+    if rung >= 4 and hasattr(d.config, "refine"):
+        repl["refine"] = False  # blend-only, the reference v4.25 fastmode analog
     if repl:
         d = dataclasses.replace(d, config=dataclasses.replace(d.config, **repl))
     if rung >= 3 and tuple(d.scale_list) == (4.0, 2.0, 1.0):

@@ -44,6 +44,10 @@ class InferenceEngine:
         #            reference's own scale knob, scale_list (4,2,1) ->
         #            (4,2,2) — inference_video.py --UHD semantics
         #            applied to the last level only)
+        #   4        + refine stage off entirely (blend only, no
+        #            contextnet/U-Net residual — what the reference's
+        #            own v4.25 fastmode ships, train_log/
+        #            IFNet_HDv3.py:160-168, applied to the paper family)
         rung = int(fast)
         if rung >= 1 and hasattr(self.model_def.config, "fast_level0"):
             import dataclasses
@@ -51,6 +55,8 @@ class InferenceEngine:
             repl = {"fast_level0": True}
             if rung >= 2 and hasattr(self.model_def.config, "fast_refine"):
                 repl["fast_refine"] = True
+            if rung >= 4 and hasattr(self.model_def.config, "refine"):
+                repl["refine"] = False
             self.model_def = dataclasses.replace(
                 self.model_def,
                 config=dataclasses.replace(self.model_def.config, **repl))

@@ -67,6 +67,8 @@ def main():
         # rung 3 (half-res final flow level) — r5 ladder qualification
         ("fast3-f32", ["--dtype", "float32", "--fast", "3"]),
         ("fast3-bf16", ["--dtype", "bfloat16", "--fast", "3"]),
+        # rung 4 (refine stage off — the reference v4.25 fastmode analog)
+        ("fast4-bf16", ["--dtype", "bfloat16", "--fast", "4"]),
     ):
         import contextlib
         import io
@@ -80,7 +82,7 @@ def main():
         print(label, line, flush=True)
     base = results["exact-f32"]["psnr"]
     for label in ("exact-bf16", "fast-bf16", "fast2-f32", "fast2-bf16",
-                  "fast3-f32", "fast3-bf16"):
+                  "fast3-f32", "fast3-bf16", "fast4-bf16"):
         print(f"delta {label} vs exact-f32: "
               f"{results[label]['psnr'] - base:+.4f} dB", flush=True)
     out = os.path.join(args.ckpt_dir, "eval_protocol.json")

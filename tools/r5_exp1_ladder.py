@@ -71,6 +71,9 @@ def main():
         ("rife-fast3", dataclasses.replace(
             cfgd(rife, fast_level0=True, fast_refine=True),
             scale_list=(4.0, 2.0, 2.0)), (736, 1280)),
+        ("rife-fast4", dataclasses.replace(
+            cfgd(rife, fast_level0=True, refine=False),
+            scale_list=(4.0, 2.0, 2.0)), (736, 1280)),
         ("rife-refineonly", cfgd(rife, fast_refine=True), (736, 1280)),
         ("v425-fast", cfgd(v425, fast_level0=True), (768, 1280)),
     ]
