@@ -31,6 +31,8 @@ def main(log_dir: str, out_md: str, title: str):
     keys = [k for k in ("loss", "loss_l1", "loss_tea", "loss_distill",
                         "loss_ter", "loss_cons", "loss_smooth")
             if rows and k in rows[0]]
+    stride = max(1, len(rows) // 40)  # keep the table readable
+    rows = rows[::stride] + ([rows[-1]] if stride > 1 else [])
     lines.append("| step | " + " | ".join(keys) + " | lr | t_data (s) |")
     lines.append("|" + "---|" * (len(keys) + 3))
     for r in rows:
