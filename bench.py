@@ -100,11 +100,12 @@ def main():
     # paper-family models
     params = None
     here = os.path.dirname(os.path.abspath(__file__))
+    dirs = (("train_log_r5_v425",) if model == "v4.25"
+            else ("train_log_r5", "train_log_r4"))
     candidates = [os.environ.get("BENCH_CKPT", "")] + [
-        os.path.join(here, d, "flownet.rtpu")
-        for d in ("train_log_r5", "train_log_r4")]
+        os.path.join(here, d, "flownet.rtpu") for d in dirs]
     ckpt = next((c for c in candidates if c and os.path.exists(c)), None)
-    if model == "rife" and ckpt \
+    if model in ("rife", "v4.25") and ckpt \
             and os.environ.get("BENCH_RANDOM_INIT", "0") in ("0", "", "false"):
         from rife_tpu.engine.checkpoint import load_checkpoint
 

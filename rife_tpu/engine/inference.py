@@ -33,9 +33,12 @@ class InferenceEngine:
                  warp_impl: str | None = None, fast: bool | int = False):
         self.model_def: ModelDef = MODEL_REGISTRY[model]
         self.model_name = model
-        # `fast` is the qualified-approximation ladder rung (each rung
-        # protocol-qualified < 0.05 dB on trained weights — docs/
-        # PERFORMANCE.md "Fast-mode qualification"):
+        # `fast` is the approximation-ladder rung.  Only rungs that pass
+        # the trained-weights protocol (< 0.05 dB vs exact-f32) may be
+        # the serving default — currently rung 1; rungs 2-4 FAILED
+        # qualification against the converged r5 checkpoint and are
+        # explicit opt-ins (docs/PERFORMANCE.md "The qualified-
+        # approximation ladder"):
         #   0/False  bit-exact graph
         #   1/True   consumer-resolution coarse-level warps (fast_level0)
         #   2        + half-resolution refine stage (fast_refine;

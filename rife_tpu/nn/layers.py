@@ -42,8 +42,9 @@ _TILING_OVERRIDE: bool | None = None
 
 # Tile-assembly layout for the 3x3 tiled convs: "batch" folds tiles into
 # the batch dim (the adopted form), "hstack" stacks them along H — the
-# r5 full-graph A/B candidate for the trace's layout-copy category
-# (VERDICT r4 next #6; read at trace time, tools/r5_exp5_hstack.py).
+# r5 layout-copy candidate, measured 56% SLOWER full-graph (89.8 vs
+# 57.6 ms/iter, tools/r5_exp5_hstack.py); kept only as the recorded
+# negative's harness hook (docs/PERFORMANCE.md round-5 negatives).
 _TILED_CONV_IMPL = "batch"
 
 

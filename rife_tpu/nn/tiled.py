@@ -65,7 +65,9 @@ def conv2d_tiled_hstack(x: jnp.ndarray, w: jnp.ndarray, stride: int,
                         precision, T: int | None = None) -> jnp.ndarray:
     """conv2d_tiled variant that stacks the halo'd tiles along H instead
     of folding them into batch (exact; r5 copy-category experiment,
-    VERDICT r4 next #6).
+    VERDICT r4 next #6).  MEASURED NEGATIVE: 89.8 vs 57.6 ms/iter
+    full-graph (docs/PERFORMANCE.md round-5 negatives) — kept as the
+    recorded negative's harness, not a serving path.
 
     Rationale: the trace's 12.8 ms/iter layout-copy category is XLA
     relayouting each (n*nt, rows, W, C) tile batch into the conv's

@@ -21,8 +21,9 @@ AUTH_PASSWORD = os.environ.get("AUTH_PASSWORD")
 # consumer-res coarse-level warps, 2 = + half-res refine stage, 3 =
 # + half-res final flow level.  The DEFAULT is the highest rung that
 # passed the trained-checkpoint protocol at < 0.05 dB vs exact-f32:
-# currently rung 1 (+0.007 dB on the real checkpoint; rung 2 measured
-# -0.61 dB against the under-trained r4 checkpoint and is opt-in).
+# currently rung 1 (graph cost ~0 against both the 3000-step and the
+# converged 16k-step checkpoints; rungs 2-4 FAILED — -3.2 dB at rung 2
+# vs the converged checkpoint — and stay opt-in).
 # RIFE_TPU_FAST=0 opts back into the bit-exact graph.  The active mode
 # is logged at server startup (serve/app.py).
 

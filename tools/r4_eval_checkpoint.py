@@ -42,6 +42,10 @@ def main():
     ap.add_argument("ckpt_dir")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--n", type=int, default=32)
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config labels (e.g. "
+                         "'exact-f32,exact-bf16,fast-bf16' for families "
+                         "without a refine stage, like v4.25)")
     args = ap.parse_args()
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
@@ -55,10 +59,12 @@ def main():
 
     from rife_tpu.cli.benchmarks import main as bench_main
 
+    wanted = set(args.configs.split(",")) if args.configs else None
     results = {}
     for label, extra in (
         ("exact-f32", ["--dtype", "float32"]),
         ("exact-bf16", ["--dtype", "bfloat16"]),
+        ("fast-f32", ["--dtype", "float32", "--fast", "1"]),
         ("fast-bf16", ["--dtype", "bfloat16", "--fast", "1"]),
         # rung 2 of the ladder (half-res refine) — the real-checkpoint
         # qualification evidence for fast_refine (r5)
@@ -70,6 +76,8 @@ def main():
         # rung 4 (refine stage off — the reference v4.25 fastmode analog)
         ("fast4-bf16", ["--dtype", "bfloat16", "--fast", "4"]),
     ):
+        if wanted is not None and label not in wanted:
+            continue
         import contextlib
         import io
 
@@ -81,8 +89,10 @@ def main():
         results[label] = json.loads(line)
         print(label, line, flush=True)
     base = results["exact-f32"]["psnr"]
-    for label in ("exact-bf16", "fast-bf16", "fast2-f32", "fast2-bf16",
-                  "fast3-f32", "fast3-bf16", "fast4-bf16"):
+    for label in ("exact-bf16", "fast-f32", "fast-bf16", "fast2-f32",
+                  "fast2-bf16", "fast3-f32", "fast3-bf16", "fast4-bf16"):
+        if label not in results:
+            continue
         print(f"delta {label} vs exact-f32: "
               f"{results[label]['psnr'] - base:+.4f} dB", flush=True)
     out = os.path.join(args.ckpt_dir, "eval_protocol.json")
